@@ -1,0 +1,49 @@
+"""Test configuration: force CPU backend with 8 virtual devices so sharding
+tests model a multi-chip mesh without TPU hardware (build brief requirement).
+Must run before any jax import."""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def fsc22_like_clip(rng):
+    """A 5 s, 16 kHz synthetic clip with tonal + noise + transient content —
+    structured like an fsc22 recording so parity tests exercise realistic
+    dynamic range (SURVEY.md hard part 1: test on realistic clips)."""
+    sr = 16000
+    t = np.arange(5 * sr) / sr
+    y = (
+        0.4 * np.sin(2 * np.pi * 440.0 * t)
+        + 0.2 * np.sin(2 * np.pi * 1312.5 * t + 0.3)
+        + 0.1 * np.sin(2 * np.pi * 3275.0 * t**1.001)
+        + 0.05 * rng.standard_normal(len(t))
+    )
+    # transient burst + quiet tail for dynamic range
+    y[16000:17600] += 0.8 * rng.standard_normal(1600)
+    y[64000:] *= 0.05
+    return y.astype(np.float32)
+
+
+@pytest.fixture(scope="session")
+def clip_22050(rng):
+    sr = 22050
+    t = np.arange(3 * sr) / sr
+    y = (
+        0.5 * np.sin(2 * np.pi * 523.25 * t)
+        + 0.2 * np.sin(2 * np.pi * 220.0 * t)
+        + 0.08 * rng.standard_normal(len(t))
+    )
+    return y.astype(np.float32)
