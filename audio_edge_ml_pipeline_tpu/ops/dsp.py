@@ -1,0 +1,661 @@
+"""Batched TPU-native DSP kernels (JAX/XLA).
+
+Everything here is a pure function over fixed-shape batches, designed to be
+jit-compiled and pjit-sharded over the batch axis. This replaces the
+reference's per-sample librosa loop (reference base.py:199-214, the
+throughput bottleneck named in SURVEY.md §3.1):
+
+- The STFT is a single strided convolution against windowed DFT bases
+  (cos/sin), i.e. one big MXU matmul per hop — no Python loop, no FFT
+  butterflies on the VPU. For large transforms (CQT) it falls back to
+  XLA's native rFFT.
+- The mel filterbank, DCT-II, chroma and tonnetz transforms are matmuls
+  against constants built by ops.golden (single source of truth for
+  filter numerics).
+- All per-clip reductions (power_to_db ref=max, min-max normalization,
+  mean/std aggregations) accept an optional valid-length mask so padded
+  batches of variable-length clips reproduce the exact per-clip librosa
+  semantics (SURVEY.md §7 hard part 4).
+
+Numerical contract: float32 outputs must match ops.golden (float64) to
+max|delta| <= 1e-5 (BASELINE.md). All matmuls use Precision.HIGHEST so the
+TPU MXU runs the f32 passes rather than bf16.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .golden import librosa_ref as ref
+
+HIGHEST = lax.Precision.HIGHEST
+
+# ----------------------------------------------------------------------
+# Constant builders (numpy, float64 -> device constants)
+# ----------------------------------------------------------------------
+
+
+def dft_bases(n_fft: int, window: str = "hann") -> np.ndarray:
+    """Windowed DFT basis, shape (2 * n_freq, n_fft) float32.
+
+    Row k < n_freq is w[n]*cos(2*pi*k*n/N); row n_freq+k is
+    -w[n]*sin(2*pi*k*n/N) (the imaginary part of e^{-2pi i kn/N}).
+    """
+    n_freq = 1 + n_fft // 2
+    if window == "hann":
+        w = ref.hann_periodic(n_fft)
+    elif window == "ones":
+        w = np.ones(n_fft)
+    else:
+        raise ValueError(window)
+    n = np.arange(n_fft, dtype=np.float64)
+    k = np.arange(n_freq, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(k, n) / n_fft
+    basis = np.concatenate([np.cos(ang) * w[None, :], -np.sin(ang) * w[None, :]], axis=0)
+    return basis.astype(np.float32)
+
+
+def mel_fb(sr: float, n_fft: int, n_mels: int, fmin: float = 0.0, fmax: float | None = None) -> np.ndarray:
+    return ref.mel_filterbank(sr, n_fft, n_mels, fmin=fmin, fmax=fmax).astype(np.float32)
+
+
+def dct_mat(n_mfcc: int, n_mels: int) -> np.ndarray:
+    return ref.dct_ii_ortho_matrix(n_mfcc, n_mels).astype(np.float32)
+
+
+def chroma_fb(sr: float, n_fft: int, n_chroma: int = 12) -> np.ndarray:
+    return ref.chroma_filterbank(sr, n_fft, n_chroma=n_chroma).astype(np.float32)
+
+
+def tonnetz_basis(n_chroma: int = 12) -> np.ndarray:
+    dim_map = np.linspace(0, 12, num=n_chroma, endpoint=False)
+    scale = np.asarray([7.0 / 6, 7.0 / 6, 3.0 / 2, 3.0 / 2, 2.0 / 3, 2.0 / 3])
+    V = np.multiply.outer(scale, dim_map)
+    V[::2] -= 0.5
+    R = np.array([1, 1, 1, 1, 0.5, 0.5])
+    return (R[:, None] * np.cos(np.pi * V)).astype(np.float32)
+
+
+def delta_coeffs(width: int = 9, order: int = 1) -> tuple[np.ndarray, float]:
+    """(interior FIR coeffs, constant edge value factor).
+
+    For savgol with deriv == polyorder the 'interp' edge values are constant
+    across the edge region: order! * (pinv of the uncentered Vandermonde)
+    [order] dotted with the edge window. Returns interior coeffs and the
+    uncentered row used for both edges.
+    """
+    import math
+
+    half = (width - 1) // 2
+    t = np.arange(-half, half + 1, dtype=np.float64)
+    A = np.vander(t, order + 1, increasing=True)
+    interior = np.linalg.pinv(A)[order] * math.factorial(order)
+    t0 = np.arange(width, dtype=np.float64)
+    A0 = np.vander(t0, order + 1, increasing=True)
+    edge_row = np.linalg.pinv(A0)[order] * math.factorial(order)
+    return interior.astype(np.float32), edge_row.astype(np.float32)
+
+
+# ----------------------------------------------------------------------
+# Frame / STFT machinery
+# ----------------------------------------------------------------------
+
+
+def n_frames_for(n_samples: int, hop_length: int) -> int:
+    """Frame count with center=True, even n_fft: 1 + n // hop (the contract
+    the device C frontend also implements; reference model_to_c.py:562-568)."""
+    return 1 + n_samples // hop_length
+
+
+def stft_spectrum(
+    y: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    window: str = "hann",
+    power: float = 2.0,
+    pad_mode: str = "constant",
+) -> jnp.ndarray:
+    """Batched |STFT|^power via one strided MXU convolution.
+
+    y: (B, n) float32 -> (B, n_freq, n_frames) float32.
+
+    The windowed cos/sin DFT bases form a (2F, 1, n_fft) conv kernel applied
+    with stride=hop over the center-padded signal: the whole STFT is a single
+    convolution XLA tiles onto the systolic array.
+    """
+    assert y.ndim == 2, "stft_spectrum expects a (B, n) batch"
+    n_freq = 1 + n_fft // 2
+    basis = jnp.asarray(dft_bases(n_fft, window=window))  # (2F, n_fft)
+    pad = n_fft // 2
+    if pad_mode == "constant":
+        ypad = jnp.pad(y, ((0, 0), (pad, pad)))
+    elif pad_mode == "edge":
+        ypad = jnp.pad(y, ((0, 0), (pad, pad)), mode="edge")
+    else:
+        raise ValueError(pad_mode)
+    out = lax.conv_general_dilated(
+        ypad[:, None, :],  # (B, C=1, W)
+        basis[:, None, :],  # (O=2F, I=1, W)
+        window_strides=(hop_length,),
+        padding="VALID",
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        precision=HIGHEST,
+    )  # (B, 2F, T)
+    re, im = out[:, :n_freq, :], out[:, n_freq:, :]
+    mag_sq = re * re + im * im
+    if power == 2.0:
+        return mag_sq
+    if power == 1.0:
+        return jnp.sqrt(mag_sq)
+    return mag_sq ** (power / 2.0)
+
+
+def stft_complex_fft(
+    y: jnp.ndarray, n_fft: int, hop_length: int, window: str = "ones"
+) -> jnp.ndarray:
+    """Batched complex STFT via XLA rFFT (for large transforms, e.g. CQT).
+
+    y: (B, n) -> (B, n_freq, n_frames) complex64.
+    """
+    pad = n_fft // 2
+    ypad = jnp.pad(y, ((0, 0), (pad, pad)))
+    T = n_frames_for(y.shape[1], hop_length)
+    starts = np.arange(T) * hop_length
+    idx = starts[:, None] + np.arange(n_fft)[None, :]
+    frames = ypad[:, idx]  # (B, T, n_fft)
+    if window == "hann":
+        frames = frames * jnp.asarray(ref.hann_periodic(n_fft).astype(np.float32))
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # (B, T, F)
+    return jnp.swapaxes(spec, 1, 2)
+
+
+# ----------------------------------------------------------------------
+# Precise transcendentals
+#
+# The TPU VPU's native log approximation carries ~4e-5 absolute error —
+# alone enough to blow the 1e-5 parity budget for dB features. These
+# versions decompose x = m * 2^e with m in [sqrt(1/2), sqrt(2)) and evaluate
+# ln(m) by the atanh series (|r| <= 0.1716, 7 terms => < 1 ulp), combining
+# e * log(2) with a two-float constant. Measured |err| ~1e-6 vs float64.
+# ----------------------------------------------------------------------
+
+_SQRT_HALF = 0.7071067811865476
+_LOG10_2_HI = np.float32(0.30102998)
+_LOG10_2_LO = np.float32(np.float64(0.30102999566398119521) - np.float64(np.float32(0.30102998)))
+_LN2_HI = np.float32(0.6931472)
+_LN2_LO = np.float32(np.float64(0.6931471805599453) - np.float64(np.float32(0.6931472)))
+_INV_LN10 = np.float32(0.4342944819032518)
+
+
+def _ln_mantissa(x):
+    """(ln m, e) with x = m * 2^e, m in [sqrt(1/2), sqrt(2))."""
+    m, e = jnp.frexp(x)
+    shift = m < _SQRT_HALF
+    m = jnp.where(shift, m * 2.0, m)
+    e = jnp.where(shift, e - 1, e).astype(x.dtype)
+    r = (m - 1.0) / (m + 1.0)
+    r2 = r * r
+    p = 1.0 + r2 * (1.0 / 3 + r2 * (1.0 / 5 + r2 * (1.0 / 7 + r2 * (1.0 / 9 + r2 * (1.0 / 11 + r2 / 13)))))
+    return 2.0 * r * p, e
+
+
+def log10_precise(x: jnp.ndarray) -> jnp.ndarray:
+    """Accurate float32 log10 for x > 0 (use after an amin floor)."""
+    ln_m, e = _ln_mantissa(x)
+    return e * _LOG10_2_HI + (e * _LOG10_2_LO + ln_m * _INV_LN10)
+
+
+def log_precise(x: jnp.ndarray) -> jnp.ndarray:
+    """Accurate float32 natural log for x > 0."""
+    ln_m, e = _ln_mantissa(x)
+    return e * _LN2_HI + (e * _LN2_LO + ln_m)
+
+
+# ----------------------------------------------------------------------
+# Masked reductions
+# ----------------------------------------------------------------------
+
+
+def frame_mask(n_frames: int, lengths: jnp.ndarray | None, hop_length: int, batch: int) -> jnp.ndarray | None:
+    """(B, n_frames) bool mask of valid frames, or None when lengths is None."""
+    if lengths is None:
+        return None
+    valid = 1 + lengths // hop_length  # per-clip frame count
+    t = jnp.arange(n_frames)[None, :]
+    return t < valid[:, None]
+
+
+def _masked_max(x: jnp.ndarray, mask: jnp.ndarray | None, axes: tuple[int, ...]) -> jnp.ndarray:
+    if mask is None:
+        return jnp.max(x, axis=axes, keepdims=True)
+    neg = jnp.finfo(x.dtype).min
+    return jnp.max(jnp.where(mask, x, neg), axis=axes, keepdims=True)
+
+
+def _masked_min(x: jnp.ndarray, mask: jnp.ndarray | None, axes: tuple[int, ...]) -> jnp.ndarray:
+    if mask is None:
+        return jnp.min(x, axis=axes, keepdims=True)
+    pos = jnp.finfo(x.dtype).max
+    return jnp.min(jnp.where(mask, x, pos), axis=axes, keepdims=True)
+
+
+def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray | None, axis: int) -> jnp.ndarray:
+    if mask is None:
+        return jnp.mean(x, axis=axis)
+    m = mask.astype(x.dtype)
+    return jnp.sum(x * m, axis=axis) / jnp.maximum(jnp.sum(m, axis=axis), 1.0)
+
+
+def _masked_std(x: jnp.ndarray, mask: jnp.ndarray | None, axis: int) -> jnp.ndarray:
+    mu = _masked_mean(x, mask, axis)
+    mu_e = jnp.expand_dims(mu, axis)
+    var = _masked_mean((x - mu_e) ** 2, mask, axis)
+    return jnp.sqrt(var)
+
+
+def power_to_db(
+    S: jnp.ndarray,
+    ref_mode: str | float = 1.0,
+    amin: float = 1e-10,
+    top_db: float | None = 80.0,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Batched power_to_db; S: (B, F, T). ref_mode: "max" (per-clip max over
+    valid frames, librosa ref=np.max) or a scalar. Matches ops.golden."""
+    m3 = None if mask is None else mask[:, None, :]
+    log_spec = 10.0 * log10_precise(jnp.maximum(amin, S))
+    if isinstance(ref_mode, str) and ref_mode == "max":
+        ref_val = _masked_max(S, m3, (1, 2))
+        log_spec = log_spec - 10.0 * log10_precise(jnp.maximum(amin, ref_val))
+    else:
+        log_spec = log_spec - 10.0 * np.log10(max(amin, abs(float(ref_mode))))
+    if top_db is not None:
+        peak = _masked_max(log_spec, m3, (1, 2))
+        log_spec = jnp.maximum(log_spec, peak - top_db)
+    return log_spec
+
+
+def amplitude_to_db(
+    S: jnp.ndarray,
+    ref_mode: str | float = 1.0,
+    amin: float = 1e-5,
+    top_db: float | None = 80.0,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    if isinstance(ref_mode, str):
+        return power_to_db(S * S, ref_mode=ref_mode, amin=amin * amin, top_db=top_db, mask=mask)
+    return power_to_db(S * S, ref_mode=float(ref_mode) ** 2, amin=amin * amin, top_db=top_db, mask=mask)
+
+
+def minmax_normalize(x: jnp.ndarray, mask: jnp.ndarray | None = None, eps: float = 1e-8) -> jnp.ndarray:
+    """Per-clip [0,1] normalization over (F, T); reference audio/deep.py:64-67."""
+    m3 = None if mask is None else mask[:, None, :]
+    lo = _masked_min(x, m3, (1, 2))
+    hi = _masked_max(x, m3, (1, 2))
+    return (x - lo) / (hi - lo + eps)
+
+
+# ----------------------------------------------------------------------
+# Mel / MFCC / deltas
+# ----------------------------------------------------------------------
+
+
+def melspectrogram(
+    y: jnp.ndarray, sr: float, n_mels: int, n_fft: int, hop_length: int,
+    fmin: float = 0.0, fmax: float | None = None,
+) -> jnp.ndarray:
+    """(B, n) -> (B, n_mels, T) mel power spectrogram."""
+    S = stft_spectrum(y, n_fft, hop_length, power=2.0)
+    fb = jnp.asarray(mel_fb(sr, n_fft, n_mels, fmin=fmin, fmax=fmax))
+    return jnp.einsum("mf,bft->bmt", fb, S, precision=HIGHEST)
+
+
+def mel_spec_feature(
+    y: jnp.ndarray,
+    sr: float = 16000,
+    n_mels: int = 40,
+    n_fft: int = 512,
+    hop_length: int = 160,
+    lengths: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """audio_mel_spec contract (reference audio/deep.py:112-134), batched:
+    mel power -> power_to_db(ref=max) -> [0,1]. Output (B, n_mels, T) f32."""
+    mel = melspectrogram(y, sr, n_mels, n_fft, hop_length)
+    mask = frame_mask(mel.shape[-1], lengths, hop_length, y.shape[0])
+    log_mel = power_to_db(mel, ref_mode="max", mask=mask)
+    return minmax_normalize(log_mel, mask=mask).astype(jnp.float32)
+
+
+def mfcc(
+    y: jnp.ndarray,
+    sr: float,
+    n_mfcc: int,
+    n_fft: int,
+    hop_length: int,
+    n_mels: int = 128,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """(B, n) -> (B, n_mfcc, T); log-mel (ref=1.0, top_db=80) -> ortho DCT-II."""
+    mel = melspectrogram(y, sr, n_mels, n_fft, hop_length)
+    S_db = power_to_db(mel, ref_mode=1.0, amin=1e-10, top_db=80.0, mask=mask)
+    D = jnp.asarray(dct_mat(n_mfcc, n_mels))
+    return jnp.einsum("km,bmt->bkt", D, S_db, precision=HIGHEST)
+
+
+def mfcc_seq_feature(
+    y: jnp.ndarray,
+    sr: float = 22050,
+    n_mfcc: int = 40,
+    n_fft: int = 1024,
+    hop_length: int = 512,
+    lengths: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """audio_mfcc_seq contract (reference audio/deep.py:304-328), batched:
+    per-coefficient z-score over time."""
+    T = n_frames_for(y.shape[1], hop_length)
+    mask = frame_mask(T, lengths, hop_length, y.shape[0])
+    M = mfcc(y, sr, n_mfcc, n_fft, hop_length, mask=mask)
+    m2 = None if mask is None else mask[:, None, :]
+    mean = _masked_mean(M, m2, axis=2)[:, :, None]
+    std = _masked_std(M, m2, axis=2)[:, :, None] + 1e-8
+    return ((M - mean) / std).astype(jnp.float32)
+
+
+def delta(x: jnp.ndarray, width: int = 9, order: int = 1) -> jnp.ndarray:
+    """Batched savgol delta along the last axis; x: (B, K, T).
+
+    Interior frames use the centered SG FIR; edge frames use the constant
+    'interp' value (deriv == polyorder => the fitted derivative is constant
+    over each edge window). Matches ops.golden.delta / scipy savgol interp.
+    """
+    interior, edge_row = delta_coeffs(width, order)
+    B, K, T = x.shape
+    half = (width - 1) // 2
+    xi = x.reshape(B * K, 1, T)
+    kern = jnp.asarray(interior)[None, None, :]
+    mid = lax.conv_general_dilated(
+        xi, kern, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCW", "OIW", "NCW"), precision=HIGHEST,
+    ).reshape(B, K, T - width + 1)
+    e = jnp.asarray(edge_row)
+    first = jnp.einsum("bkw,w->bk", x[:, :, :width], e, precision=HIGHEST)
+    last = jnp.einsum("bkw,w->bk", x[:, :, -width:], e, precision=HIGHEST)
+    left = jnp.repeat(first[:, :, None], half, axis=2)
+    right = jnp.repeat(last[:, :, None], half, axis=2)
+    return jnp.concatenate([left, mid, right], axis=2)
+
+
+# ----------------------------------------------------------------------
+# CQT
+# ----------------------------------------------------------------------
+
+
+def cqt_magnitude(
+    y: jnp.ndarray,
+    sr: float,
+    hop_length: int,
+    n_bins: int,
+    bins_per_octave: int = 12,
+    fmin: float | None = None,
+) -> jnp.ndarray:
+    """(B, n) -> (B, n_bins, T) |CQT| via frequency-domain filterbank matmul
+    over an XLA rFFT (algorithm contract: ops.golden.cqt_basis)."""
+    if fmin is None:
+        fmin = ref.C1_HZ
+    fft_basis, lengths_np, n_fft = ref.cqt_basis(sr, fmin, n_bins, bins_per_octave)
+    D = stft_complex_fft(y, n_fft, hop_length, window="ones")  # (B,F,T) c64
+    br = jnp.asarray(fft_basis.real.astype(np.float32))
+    bi = jnp.asarray(fft_basis.imag.astype(np.float32))
+    Dr, Di = jnp.real(D).astype(jnp.float32), jnp.imag(D).astype(jnp.float32)
+    Cr = jnp.einsum("kf,bft->bkt", br, Dr, precision=HIGHEST) - jnp.einsum(
+        "kf,bft->bkt", bi, Di, precision=HIGHEST
+    )
+    Ci = jnp.einsum("kf,bft->bkt", br, Di, precision=HIGHEST) + jnp.einsum(
+        "kf,bft->bkt", bi, Dr, precision=HIGHEST
+    )
+    scale = jnp.asarray((1.0 / np.sqrt(lengths_np)).astype(np.float32))[None, :, None]
+    return jnp.sqrt(Cr * Cr + Ci * Ci) * scale
+
+
+def cqt_feature(
+    y: jnp.ndarray,
+    sr: float = 22050,
+    hop_length: int = 512,
+    n_bins: int = 84,
+    bins_per_octave: int = 12,
+    fmin: float | None = None,
+    lengths: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """audio_cqt contract (reference audio/deep.py:235-260), batched."""
+    C = cqt_magnitude(y, sr, hop_length, n_bins, bins_per_octave, fmin)
+    mask = frame_mask(C.shape[-1], lengths, hop_length, y.shape[0])
+    log_cqt = amplitude_to_db(C, ref_mode="max", mask=mask)
+    return minmax_normalize(log_cqt, mask=mask).astype(jnp.float32)
+
+
+def waveform_feature(y: jnp.ndarray, lengths: jnp.ndarray | None = None) -> jnp.ndarray:
+    """audio_waveform contract (reference audio/deep.py:170-188): peak
+    normalize to [-1, 1] per clip."""
+    if lengths is not None:
+        m = jnp.arange(y.shape[1])[None, :] < lengths[:, None]
+        y = jnp.where(m, y, 0.0)
+    peak = jnp.max(jnp.abs(y), axis=1, keepdims=True)
+    return jnp.where(peak > 0, y / jnp.maximum(peak, 1e-30), y).astype(jnp.float32)
+
+
+# ----------------------------------------------------------------------
+# Spectral descriptors (batched; share one |STFT|)
+# ----------------------------------------------------------------------
+
+_F32_TINY = float(np.finfo(np.float32).tiny)
+
+
+def _l1_normalize_freq(S: jnp.ndarray) -> jnp.ndarray:
+    """librosa.util.normalize(norm=1, axis=freq): tiny columns unchanged."""
+    length = jnp.sum(jnp.abs(S), axis=1, keepdims=True)
+    length = jnp.where(length < _F32_TINY, 1.0, length)
+    return S / length
+
+
+def spectral_centroid_from_mag(S: jnp.ndarray, sr: float, n_fft: int) -> jnp.ndarray:
+    freq = jnp.asarray(ref.fft_frequencies(sr, n_fft).astype(np.float32))
+    Sn = _l1_normalize_freq(S)
+    return jnp.sum(freq[None, :, None] * Sn, axis=1)  # (B, T)
+
+
+def spectral_rolloff_from_mag(
+    S: jnp.ndarray, sr: float, n_fft: int, roll_percent: float = 0.85
+) -> jnp.ndarray:
+    freq = jnp.asarray(ref.fft_frequencies(sr, n_fft).astype(np.float32))
+    total = jnp.cumsum(S, axis=1)
+    threshold = roll_percent * total[:, -1:, :]
+    big = jnp.finfo(S.dtype).max
+    cand = jnp.where(total < threshold, big, freq[None, :, None])
+    return jnp.min(cand, axis=1)  # (B, T)
+
+
+def spectral_bandwidth_from_mag(
+    S: jnp.ndarray, sr: float, n_fft: int, p: float = 2.0
+) -> jnp.ndarray:
+    freq = jnp.asarray(ref.fft_frequencies(sr, n_fft).astype(np.float32))
+    centroid = spectral_centroid_from_mag(S, sr, n_fft)  # (B, T)
+    deviation = jnp.abs(freq[None, :, None] - centroid[:, None, :])
+    Sn = _l1_normalize_freq(S)
+    return jnp.sum(Sn * deviation**p, axis=1) ** (1.0 / p)
+
+
+def spectral_contrast_from_mag(
+    S: jnp.ndarray,
+    sr: float,
+    n_fft: int,
+    fmin: float = 200.0,
+    n_bands: int = 6,
+    quantile: float = 0.02,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """(B, F, T) -> (B, n_bands+1, T). Band membership is static given
+    sr/n_fft, so each band is a static slice + sort (unrolled)."""
+    freq = ref.fft_frequencies(sr, n_fft)
+    octa = np.zeros(n_bands + 2)
+    octa[1:] = fmin * (2.0 ** np.arange(0, n_bands + 1))
+    peaks, valleys = [], []
+    for k, (f_low, f_high) in enumerate(zip(octa[:-1], octa[1:])):
+        current_band = np.logical_and(freq >= f_low, freq <= f_high)
+        idx = np.flatnonzero(current_band)
+        if k > 0:
+            current_band[idx[0] - 1] = True
+        if k == n_bands:
+            current_band[idx[-1] + 1 :] = True
+        sel = np.flatnonzero(current_band)
+        sub = S[:, jnp.asarray(sel), :]
+        if k < n_bands:
+            sub = sub[:, :-1, :]
+        nsel = int(max(np.rint(quantile * current_band.sum()), 1))
+        sorted_sub = jnp.sort(sub, axis=1)
+        valleys.append(jnp.mean(sorted_sub[:, :nsel, :], axis=1))
+        peaks.append(jnp.mean(sorted_sub[:, -nsel:, :], axis=1))
+    peak = jnp.stack(peaks, axis=1)  # (B, n_bands+1, T)
+    valley = jnp.stack(valleys, axis=1)
+    return power_to_db(peak, ref_mode=1.0, mask=mask) - power_to_db(valley, ref_mode=1.0, mask=mask)
+
+
+def spectral_flatness_from_mag(S: jnp.ndarray, amin: float = 1e-10, power: float = 2.0) -> jnp.ndarray:
+    S_thresh = jnp.maximum(amin, S**power)
+    gmean = jnp.exp(jnp.mean(log_precise(S_thresh), axis=1))
+    amean = jnp.mean(S_thresh, axis=1)
+    return gmean / amean  # (B, T)
+
+
+def chroma_from_power(Spow: jnp.ndarray, sr: float, n_fft: int, n_chroma: int = 12) -> jnp.ndarray:
+    fb = jnp.asarray(chroma_fb(sr, n_fft, n_chroma))
+    raw = jnp.einsum("cf,bft->bct", fb, Spow, precision=HIGHEST)
+    peak = jnp.max(jnp.abs(raw), axis=1, keepdims=True)
+    peak = jnp.where(peak < _F32_TINY, 1.0, peak)
+    return raw / peak
+
+
+def tonnetz_from_chroma(chroma: jnp.ndarray) -> jnp.ndarray:
+    phi = jnp.asarray(tonnetz_basis(chroma.shape[1]))
+    length = jnp.sum(jnp.abs(chroma), axis=1, keepdims=True)
+    length = jnp.where(length < _F32_TINY, 1.0, length)
+    return jnp.einsum("dc,bct->bdt", phi, chroma / length, precision=HIGHEST)
+
+
+def zero_crossing_rate(
+    y: jnp.ndarray, frame_length: int = 2048, hop_length: int = 512, threshold: float = 1e-10
+) -> jnp.ndarray:
+    """(B, n) -> (B, T). Windowed crossing counts via reduce_window over the
+    per-sample crossing indicator (exact, no frame materialization)."""
+    ypad = jnp.pad(y, ((0, 0), (frame_length // 2, frame_length // 2)), mode="edge")
+    yy = jnp.where(jnp.abs(ypad) <= threshold, 0.0, ypad)
+    sb = jnp.signbit(yy)
+    cross = jnp.abs(jnp.diff(sb.astype(jnp.float32), axis=1))  # (B, n_pad-1)
+    # frame t covers padded samples [t*hop, t*hop + frame_length); its
+    # within-frame adjacent pairs are cross[t*hop : t*hop + frame_length - 1]
+    sums = lax.reduce_window(
+        cross, 0.0, lax.add, (1, frame_length - 1), (1, hop_length), "VALID"
+    )
+    T = n_frames_for(y.shape[1], hop_length)
+    return sums[:, :T] / frame_length
+
+
+def rms(y: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndarray:
+    """(B, n) -> (B, T); center=True constant padding, exact window sums."""
+    ypad = jnp.pad(y, ((0, 0), (frame_length // 2, frame_length // 2)))
+    sums = lax.reduce_window(
+        ypad * ypad, 0.0, lax.add, (1, frame_length), (1, hop_length), "VALID"
+    )
+    T = n_frames_for(y.shape[1], hop_length)
+    return jnp.sqrt(sums[:, :T] / frame_length)
+
+
+# ----------------------------------------------------------------------
+# audio_classical: the full flat feature vector, batched
+# ----------------------------------------------------------------------
+
+_SCALAR_GROUPS = {"spectral_centroid", "spectral_rolloff", "spectral_bandwidth", "spectral_flatness", "zcr", "rms"}
+
+
+def classical_feature_vector(
+    y: jnp.ndarray,
+    sr: float = 22050,
+    n_mfcc: int = 40,
+    n_mels: int = 128,
+    n_fft: int = 1024,
+    hop_length: int = 512,
+    features: tuple[str, ...] | None = None,
+    aggregations: tuple[str, ...] = ("mean", "std"),
+    lengths: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Batched audio_classical contract (reference audio/classical.py:272-355):
+    per-group frame features aggregated (mean/std) in canonical order.
+
+    Unlike the reference — which recomputes the STFT once per feature group —
+    this computes one magnitude STFT and derives every group from it.
+    (B, n) -> (B, feature_dim); 302-d for defaults.
+    """
+    feats = tuple(ref._ALL_CLASSICAL) if features is None else tuple(
+        k for k in ref._ALL_CLASSICAL if k in set(features)
+    )
+    aggs = tuple(a for a in ("mean", "std") if a in set(aggregations))
+    active = set(feats)
+
+    T = n_frames_for(y.shape[1], hop_length)
+    mask = frame_mask(T, lengths, hop_length, y.shape[0])
+    m2 = None if mask is None else mask  # (B, T)
+
+    need_stft = active & {
+        "spectral_centroid", "spectral_rolloff", "spectral_bandwidth",
+        "spectral_contrast", "spectral_flatness", "chroma", "tonnetz",
+    }
+    Smag = stft_spectrum(y, n_fft, hop_length, power=1.0) if need_stft else None
+    Spow = Smag * Smag if (active & {"chroma", "tonnetz"}) else None
+
+    cache: dict[str, jnp.ndarray] = {}
+    if active & {"mfcc", "delta_mfcc", "delta2_mfcc"}:
+        cache["mfcc"] = mfcc(y, sr, n_mfcc, n_fft, hop_length, n_mels=n_mels, mask=mask)
+        if "delta_mfcc" in active:
+            cache["delta_mfcc"] = delta(cache["mfcc"], order=1)
+        if "delta2_mfcc" in active:
+            cache["delta2_mfcc"] = delta(cache["mfcc"], order=2)
+    if "spectral_centroid" in active or "spectral_bandwidth" in active:
+        cache["spectral_centroid"] = spectral_centroid_from_mag(Smag, sr, n_fft)[:, None, :]
+    if "spectral_rolloff" in active:
+        cache["spectral_rolloff"] = spectral_rolloff_from_mag(Smag, sr, n_fft)[:, None, :]
+    if "spectral_bandwidth" in active:
+        cache["spectral_bandwidth"] = spectral_bandwidth_from_mag(Smag, sr, n_fft)[:, None, :]
+    if "spectral_contrast" in active:
+        cache["spectral_contrast"] = spectral_contrast_from_mag(Smag, sr, n_fft, mask=mask)
+    if "spectral_flatness" in active:
+        cache["spectral_flatness"] = spectral_flatness_from_mag(Smag)[:, None, :]
+    if active & {"chroma", "tonnetz"}:
+        cache["chroma"] = chroma_from_power(Spow, sr, n_fft)
+        if "tonnetz" in active:
+            cache["tonnetz"] = tonnetz_from_chroma(cache["chroma"])
+    if "zcr" in active:
+        cache["zcr"] = zero_crossing_rate(y, hop_length=hop_length)[:, None, :]
+    if "rms" in active:
+        cache["rms"] = rms(y, frame_length=n_fft, hop_length=hop_length)[:, None, :]
+
+    parts = []
+    for key in feats:
+        x = cache[key]  # (B, K, T)
+        scalar = key in _SCALAR_GROUPS
+        mk = None if m2 is None else m2[:, None, :]
+        if scalar:
+            # aggregate over all values (librosa float(x.mean()) over (1, T))
+            mean = _masked_mean(x.reshape(x.shape[0], -1), m2, axis=1)[:, None]
+            std = _masked_std(x.reshape(x.shape[0], -1), m2, axis=1)[:, None]
+        else:
+            mean = _masked_mean(x, mk, axis=2)  # (B, K)
+            std = _masked_std(x, mk, axis=2)
+        if "mean" in aggs:
+            parts.append(mean)
+        if "std" in aggs:
+            parts.append(std)
+    return jnp.concatenate(parts, axis=1).astype(jnp.float32)

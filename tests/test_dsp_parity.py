@@ -1,0 +1,172 @@
+"""Parity: batched JAX DSP (float32) vs the float64 golden oracle.
+
+BASELINE.md target: max|delta| <= 1e-5 for mel, MFCC, power_to_db and
+normalization. Hz-scaled descriptors (centroid/rolloff/bandwidth) use a
+relative tolerance of the same order.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from audio_edge_ml_pipeline_tpu.ops import dsp
+from audio_edge_ml_pipeline_tpu.ops import golden as g
+
+
+@pytest.fixture(scope="module")
+def batch16k(rng):
+    """8 heterogeneous 5 s clips @ 16 kHz."""
+    sr, n = 16000, 80000
+    t = np.arange(n) / sr
+    clips = []
+    for i in range(8):
+        f0 = 180.0 * (i + 1)
+        y = (
+            0.5 * np.sin(2 * np.pi * f0 * t)
+            + 0.2 * np.sin(2 * np.pi * 2.7 * f0 * t + i)
+            + 0.06 * rng.standard_normal(n)
+        )
+        y[i * 5000 : i * 5000 + 2000] += 0.7 * rng.standard_normal(2000)
+        clips.append(y.astype(np.float32))
+    return np.stack(clips), sr
+
+
+@pytest.fixture(scope="module")
+def batch22k(rng):
+    sr, n = 22050, 66150  # 3 s
+    t = np.arange(n) / sr
+    clips = []
+    for i in range(4):
+        y = (
+            0.5 * np.sin(2 * np.pi * (220 + 97 * i) * t)
+            + 0.1 * rng.standard_normal(n)
+        )
+        clips.append(y.astype(np.float32))
+    return np.stack(clips), sr
+
+
+def _golden_stack(fn, batch):
+    return np.stack([fn(batch[i]) for i in range(batch.shape[0])])
+
+
+def test_stft_power_parity(batch16k):
+    y, sr = batch16k
+    S = np.asarray(dsp.stft_spectrum(jnp.asarray(y[:2]), 512, 160, power=2.0))
+    ref = _golden_stack(lambda c: np.abs(g.stft(c, 512, 160)) ** 2, y[:2])
+    # raw power spans ~6 orders of magnitude; compare relative to per-clip peak
+    scale = ref.max(axis=(1, 2), keepdims=True)
+    assert np.max(np.abs(S - ref) / scale) < 1e-6
+
+
+def test_mel_spec_feature_parity(batch16k):
+    y, sr = batch16k
+    out = np.asarray(dsp.mel_spec_feature(jnp.asarray(y), sr=sr))
+    ref = _golden_stack(lambda c: g.mel_spec_feature(c, sr=sr), y)
+    err = np.max(np.abs(out - ref))
+    assert err <= 1e-5, f"mel parity {err:.3e}"
+
+
+def test_mel_spec_feature_masked_variable_length(batch16k):
+    y, sr = batch16k
+    lengths = np.array([80000, 72000, 48000, 80000, 16000, 60800, 80000, 33600], np.int32)
+    padded = y.copy()
+    for i, L in enumerate(lengths):
+        padded[i, L:] = 0.0
+    out = np.asarray(dsp.mel_spec_feature(jnp.asarray(padded), sr=sr, lengths=jnp.asarray(lengths)))
+    for i, L in enumerate(lengths):
+        T = 1 + L // 160
+        ref = g.mel_spec_feature(y[i, :L], sr=sr)
+        err = np.max(np.abs(out[i, :, :T] - ref))
+        assert err <= 1e-5, f"clip {i}: {err:.3e}"
+
+
+def test_mfcc_seq_parity(batch22k):
+    y, sr = batch22k
+    out = np.asarray(dsp.mfcc_seq_feature(jnp.asarray(y), sr=sr))
+    ref = _golden_stack(lambda c: g.mfcc_seq_feature(c, sr=sr), y)
+    err = np.max(np.abs(out - ref))
+    assert err <= 1e-4, f"mfcc_seq parity {err:.3e}"  # z-scored, f32
+
+
+def test_raw_mfcc_parity(batch22k):
+    y, sr = batch22k
+    out = np.asarray(dsp.mfcc(jnp.asarray(y), sr, 40, 1024, 512))
+    ref = _golden_stack(lambda c: g.mfcc(c, sr, 40, 1024, 512), y)
+    err = np.max(np.abs(out - ref))
+    assert err <= 1e-3, f"raw mfcc (dB scale ~[-700,0]) parity {err:.3e}"
+    rel = err / max(1.0, np.abs(ref).max())
+    assert rel <= 1e-5
+
+
+def test_delta_parity(batch22k):
+    y, sr = batch22k
+    M = _golden_stack(lambda c: g.mfcc(c, sr, 40, 1024, 512), y).astype(np.float32)
+    for order in (1, 2):
+        out = np.asarray(dsp.delta(jnp.asarray(M), order=order))
+        ref = np.stack([g.delta(M[i].astype(np.float64), order=order) for i in range(len(M))])
+        err = np.max(np.abs(out - ref))
+        assert err <= 2e-3, f"delta{order} {err:.3e}"  # dB-scale inputs
+
+
+def test_cqt_feature_parity(batch22k):
+    y, sr = batch22k
+    out = np.asarray(dsp.cqt_feature(jnp.asarray(y), sr=sr))
+    ref = _golden_stack(lambda c: g.cqt_feature(c, sr=sr), y)
+    err = np.max(np.abs(out - ref))
+    assert err <= 2e-5, f"cqt parity {err:.3e}"
+
+
+def test_waveform_feature_parity(batch16k):
+    y, sr = batch16k
+    out = np.asarray(dsp.waveform_feature(jnp.asarray(y)))
+    ref = _golden_stack(g.waveform_feature, y)
+    assert np.max(np.abs(out - ref)) <= 1e-6
+
+
+def test_classical_vector_parity(batch22k):
+    y, sr = batch22k
+    out = np.asarray(dsp.classical_feature_vector(jnp.asarray(y), sr=sr))
+    ref = _golden_stack(lambda c: g.classical_feature_vector(c, sr=sr), y)
+    assert out.shape == ref.shape == (4, 302)
+    # mixed physical scales: compare per-dimension relative to golden scale
+    scale = np.maximum(np.abs(ref), 1.0)
+    rel = np.max(np.abs(out - ref) / scale)
+    assert rel <= 1e-4, f"classical rel parity {rel:.3e}"
+
+
+def test_classical_vector_group_parity(batch22k):
+    """Per-group absolute parity on the [0,1]-ish groups."""
+    y, sr = batch22k
+    yj = jnp.asarray(y)
+    Smag = dsp.stft_spectrum(yj, 1024, 512, power=1.0)
+    flat = np.asarray(dsp.spectral_flatness_from_mag(Smag))
+    flat_ref = np.stack([g.spectral_flatness(y[i], 1024, 512)[0] for i in range(4)])
+    assert np.max(np.abs(flat - flat_ref)) <= 1e-5
+    z = np.asarray(dsp.zero_crossing_rate(yj, hop_length=512))
+    z_ref = np.stack([g.zero_crossing_rate(y[i], hop_length=512)[0] for i in range(4)])
+    assert np.max(np.abs(z - z_ref)) <= 1e-6
+    r = np.asarray(dsp.rms(yj, 1024, 512))
+    r_ref = np.stack([g.rms(y[i], 1024, 512)[0] for i in range(4)])
+    assert np.max(np.abs(r - r_ref)) <= 1e-5
+    ch = np.asarray(dsp.chroma_from_power(Smag * Smag, sr, 1024))
+    ch_ref = np.stack([g.chroma_stft(y[i], sr, 1024, 512) for i in range(4)])
+    assert np.max(np.abs(ch - ch_ref)) <= 1e-4
+    tn = np.asarray(dsp.tonnetz_from_chroma(ch))
+    tn_ref = np.stack([g.tonnetz(ch_ref[i]) for i in range(4)])
+    assert np.max(np.abs(tn - tn_ref)) <= 1e-4
+    sc = np.asarray(dsp.spectral_contrast_from_mag(Smag, sr, 1024))
+    sc_ref = np.stack([g.spectral_contrast(y[i], sr, 1024, 512) for i in range(4)])
+    # dB scale; valleys are means of the bottom-2% quantile of |STFT| so f32
+    # log error is amplified — gate at 1e-2 dB absolute / 1e-4 relative
+    assert np.max(np.abs(sc - sc_ref)) <= 1e-2
+    assert np.max(np.abs(sc - sc_ref)) / max(1.0, np.abs(sc_ref).max()) <= 2e-4
+    cen = np.asarray(dsp.spectral_centroid_from_mag(Smag, sr, 1024))
+    cen_ref = np.stack([g.spectral_centroid(y[i], sr, 1024, 512)[0] for i in range(4)])
+    assert np.max(np.abs(cen - cen_ref) / np.maximum(cen_ref, 1.0)) <= 1e-5
+    ro = np.asarray(dsp.spectral_rolloff_from_mag(Smag, sr, 1024))
+    ro_ref = np.stack([g.spectral_rolloff(y[i], sr, 1024, 512)[0] for i in range(4)])
+    assert np.max(np.abs(ro - ro_ref)) <= 1e-3  # exact bin freqs; ties only
+    bw = np.asarray(dsp.spectral_bandwidth_from_mag(Smag, sr, 1024))
+    bw_ref = np.stack([g.spectral_bandwidth(y[i], sr, 1024, 512)[0] for i in range(4)])
+    assert np.max(np.abs(bw - bw_ref) / np.maximum(bw_ref, 1.0)) <= 1e-4
