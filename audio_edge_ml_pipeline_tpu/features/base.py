@@ -1,0 +1,299 @@
+"""Core abstractions of the feature layer.
+
+Same public surface as the reference (FeatureSet / BaseFeatureExtractor /
+BaseDatasetLoader, reference base.py:27-257) with one structural change:
+``BatchedAudioExtractor`` replaces the per-sample Python hot loop with a
+pipelined host-decode -> padded-batch -> jit-on-device path (SURVEY.md §2c:
+vmap/batching as the first-class axis).
+"""
+
+from __future__ import annotations
+
+import logging
+from abc import ABC, abstractmethod
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterator, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class FeatureSet:
+    """Uniform feature container for supervised / unsupervised / semi-
+    supervised workflows (labels None => unsupervised; -1 => unlabelled in
+    semi-supervised sets). Field-compatible with the reference container
+    (base.py:27-134) and its on-disk directory format."""
+
+    features: np.ndarray  # (N, *feature_dims)
+    feature_type: str  # "classical" | "deep"
+    modality: str  # "audio" | "image" | "text" | "tabular" | "video"
+    metadata: list[dict]
+    labels: Optional[np.ndarray] = None
+    label_names: Optional[list[str]] = None
+    cluster_assignments: Optional[np.ndarray] = None
+
+    @property
+    def n_samples(self) -> int:
+        return len(self.features)
+
+    @property
+    def feature_shape(self) -> tuple:
+        return self.features.shape[1:]
+
+    @property
+    def is_supervised(self) -> bool:
+        return self.labels is not None
+
+    @property
+    def n_classes(self) -> Optional[int]:
+        if self.label_names is not None:
+            return len(self.label_names)
+        if self.labels is not None:
+            return int(self.labels.max()) + 1
+        return None
+
+    def to_sklearn(self) -> tuple[np.ndarray, Optional[np.ndarray]]:
+        """(X, y): ground-truth labels, else cluster assignments, else None."""
+        if self.labels is not None:
+            return self.features, self.labels
+        if self.cluster_assignments is not None:
+            return self.features, self.cluster_assignments
+        return self.features, None
+
+    def to_jax(self, sharding=None):
+        """Device arrays (features, labels|None); optionally placed with a
+        NamedSharding (batch-axis sharding over the mesh)."""
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.asarray(self.features, dtype=jnp.float32)
+        y = None if self.labels is None else jnp.asarray(self.labels, dtype=jnp.int32)
+        if sharding is not None:
+            x = jax.device_put(x, sharding)
+            if y is not None:
+                y = jax.device_put(y, sharding)
+        return x, y
+
+    def to_tf_dataset(self, batch_size: int = 32, shuffle: bool = False, seed: Optional[int] = None):
+        """Batched, prefetched tf.data.Dataset (lazy TF import; parity with
+        reference base.py:92-115)."""
+        import tensorflow as tf
+
+        if self.labels is not None:
+            ds = tf.data.Dataset.from_tensor_slices(
+                (self.features.astype(np.float32), self.labels.astype(np.int32))
+            )
+        else:
+            ds = tf.data.Dataset.from_tensor_slices(self.features.astype(np.float32))
+        if shuffle:
+            ds = ds.shuffle(buffer_size=self.n_samples, seed=seed)
+        return ds.batch(batch_size).prefetch(tf.data.AUTOTUNE)
+
+    def __repr__(self) -> str:
+        label_info = f"labels={self.n_classes} classes" if self.is_supervised else "unsupervised"
+        return (
+            f"FeatureSet(modality={self.modality!r}, feature_type={self.feature_type!r}, "
+            f"n_samples={self.n_samples}, feature_shape={self.feature_shape}, {label_info})"
+        )
+
+
+class BaseDatasetLoader(ABC):
+    """Iterating yields (sample_path | None, label | None, metadata dict)."""
+
+    @abstractmethod
+    def __iter__(self) -> Iterator[tuple[Optional[Path], Optional[str], dict]]: ...
+
+    @abstractmethod
+    def __len__(self) -> int: ...
+
+
+def _collect(
+    all_features: list[np.ndarray],
+    all_labels: list[int],
+    all_meta: list[dict],
+    label_to_idx: dict[str, int],
+    feature_type: str,
+    modality: str,
+) -> FeatureSet:
+    if not all_features:
+        raise RuntimeError("No features were successfully extracted.")
+    features = np.stack(all_features)
+    labels = np.array(all_labels, dtype=np.int32) if all_labels else None
+    label_names = (
+        [k for k, _ in sorted(label_to_idx.items(), key=lambda kv: kv[1])] if label_to_idx else None
+    )
+    return FeatureSet(
+        features=features,
+        feature_type=feature_type,
+        modality=modality,
+        metadata=all_meta,
+        labels=labels,
+        label_names=label_names,
+    )
+
+
+class BaseFeatureExtractor(ABC):
+    """Extractor ABC. Subclasses set ``name`` / ``feature_type`` /
+    ``modality`` and implement ``extract``. ``extract_dataset`` is the
+    skip-and-continue loop with first-occurrence label interning (contract of
+    reference base.py:176-234)."""
+
+    name: str
+    feature_type: str
+    modality: str
+
+    @abstractmethod
+    def extract(self, sample_path: Optional[Path], **kwargs) -> np.ndarray: ...
+
+    def extract_dataset(self, loader: BaseDatasetLoader, max_samples: Optional[int] = None) -> FeatureSet:
+        all_features: list[np.ndarray] = []
+        all_labels: list[int] = []
+        all_meta: list[dict] = []
+        label_to_idx: dict[str, int] = {}
+        for i, (sample_path, label, meta) in enumerate(loader):
+            if max_samples is not None and i >= max_samples:
+                break
+            try:
+                feat = self.extract(sample_path, **meta)
+            except Exception as exc:
+                logger.warning("Skipping %s: %s", sample_path, exc)
+                continue
+            all_features.append(np.asarray(feat))
+            all_meta.append(meta)
+            if label is not None:
+                if label not in label_to_idx:
+                    label_to_idx[label] = len(label_to_idx)
+                all_labels.append(label_to_idx[label])
+        return _collect(all_features, all_labels, all_meta, label_to_idx, self.feature_type, self.modality)
+
+
+class BatchedAudioExtractor(BaseFeatureExtractor):
+    """Audio extractor with a batched accelerator path.
+
+    Subclasses implement:
+      - ``target_samples()`` -> int | None  (fixed clip length, or None)
+      - ``min_samples()`` -> int            (zero-pad floor per clip)
+      - ``batch_feature(waves (B, n) f32, lengths (B,) i32) -> (B, ...)``
+        a jit-compiled device function; when lengths is not None the padded
+        region must be masked out of per-clip reductions
+      - ``frames_for(n_samples)`` -> per-clip time size (for trimming), or
+        None for non-framed outputs
+
+    ``extract_dataset`` pipelines: host WAV decode+resample on a thread pool
+    (I/O bound) while the previous batch runs on device — replacing the
+    reference's sequential librosa loop.
+    """
+
+    modality = "audio"
+    sample_rate: int
+    duration: Optional[float] = None
+    batch_size: int = 256
+    decode_workers: int = 8
+
+    # -- subclass hooks -------------------------------------------------
+    def target_samples(self) -> Optional[int]:
+        if self.duration is None:
+            return None
+        return int(self.duration * self.sample_rate)
+
+    def min_samples(self) -> int:
+        return 1
+
+    def frames_for(self, n_samples: int) -> Optional[int]:
+        return None
+
+    def batch_feature(self, waves, lengths):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    # -- single-sample API (parity with the reference extract()) --------
+    def _load_clip(self, sample_path, start_time=None, end_time=None, min_duration: float = 0.1):
+        from ..data.audio_io import load_audio
+
+        offset = float(start_time) if start_time is not None else 0.0
+        duration = None
+        if end_time is not None:
+            duration = max(float(end_time) - offset, min_duration)
+        y, _ = load_audio(sample_path, sr=self.sample_rate, offset=offset, duration=duration)
+        tgt = self.target_samples()
+        if tgt is not None:
+            y = y[:tgt] if len(y) >= tgt else np.pad(y, (0, tgt - len(y)))
+        if len(y) < self.min_samples():
+            y = np.pad(y, (0, self.min_samples() - len(y)))
+        return y
+
+    def extract(self, sample_path, start_time=None, end_time=None, **_kw) -> np.ndarray:
+        y = self._load_clip(sample_path, start_time, end_time)
+        out = np.asarray(self.batch_feature(y[None, :], None))[0]
+        return out.astype(np.float32)
+
+    # -- batched dataset path -------------------------------------------
+    def _pad_bucket(self, n: int) -> int:
+        """Round variable lengths up to 1s steps to bound recompilation."""
+        step = self.sample_rate
+        return int(-(-n // step) * step)
+
+    def extract_dataset(self, loader: BaseDatasetLoader, max_samples: Optional[int] = None) -> FeatureSet:
+        samples = []
+        for i, item in enumerate(loader):
+            if max_samples is not None and i >= max_samples:
+                break
+            samples.append(item)
+
+        all_features: list[np.ndarray] = []
+        all_labels: list[int] = []
+        all_meta: list[dict] = []
+        label_to_idx: dict[str, int] = {}
+        tgt = self.target_samples()
+
+        def decode(item):
+            path, label, meta = item
+            try:
+                y = self._load_clip(path, meta.get("start_time"), meta.get("end_time"))
+                return y, label, meta, None
+            except Exception as exc:  # skip-and-continue (reference base.py:203-206)
+                return None, label, meta, (path, exc)
+
+        with ThreadPoolExecutor(max_workers=self.decode_workers) as pool:
+            for start in range(0, len(samples), self.batch_size):
+                chunk = samples[start : start + self.batch_size]
+                decoded = list(pool.map(decode, chunk))
+                good = [(y, l, m) for y, l, m, err in decoded if y is not None]
+                for y, l, m, err in decoded:
+                    if err is not None:
+                        logger.warning("Skipping %s: %s", err[0], err[1])
+                if not good:
+                    continue
+                if tgt is not None:
+                    waves = np.zeros((len(good), tgt), np.float32)
+                    for j, (y, _, _) in enumerate(good):
+                        waves[j, : len(y)] = y[:tgt]
+                    lengths = None
+                else:
+                    max_n = self._pad_bucket(max(len(y) for y, _, _ in good))
+                    waves = np.zeros((len(good), max_n), np.float32)
+                    lens = np.zeros(len(good), np.int32)
+                    for j, (y, _, _) in enumerate(good):
+                        waves[j, : len(y)] = y
+                        lens[j] = len(y)
+                    lengths = lens
+                feats = np.asarray(self.batch_feature(waves, lengths)).astype(np.float32)
+                for j, (y, label, meta) in enumerate(good):
+                    f = feats[j]
+                    if lengths is not None:
+                        t = self.frames_for(int(lengths[j]))
+                        if t is not None:
+                            f = f[..., :t]
+                        elif f.ndim == 1 and f.shape[0] == waves.shape[1]:
+                            f = f[: int(lengths[j])]  # waveform features
+                    all_features.append(np.ascontiguousarray(f))
+                    all_meta.append(meta)
+                    if label is not None:
+                        if label not in label_to_idx:
+                            label_to_idx[label] = len(label_to_idx)
+                        all_labels.append(label_to_idx[label])
+
+        return _collect(all_features, all_labels, all_meta, label_to_idx, self.feature_type, self.modality)

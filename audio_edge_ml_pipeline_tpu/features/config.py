@@ -1,0 +1,154 @@
+"""YAML pipeline configuration: top-level defaults merged into per-experiment
+overrides, species_filter legacy alias, unknown-key tolerance.
+
+Schema-compatible with the reference (preprocessing/config.py:64-341) so
+existing feature_extraction.yaml files work unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, fields as dc_fields
+from pathlib import Path
+from typing import Optional
+
+import yaml
+
+
+@dataclass
+class ExperimentConfig:
+    extractor: str
+    loader: str
+    name: Optional[str] = None
+    dataset: Optional[str] = None
+    split: Optional[str] = None
+    output: Optional[str] = None
+    max_samples: Optional[int] = None
+    label_col: Optional[str] = None
+    text_col: str = "text"
+    audio_folder: Optional[str] = None
+    image_folder: Optional[str] = None
+    text_folder: Optional[str] = None
+    video_folder: Optional[str] = None
+    extractor_params: dict = field(default_factory=dict)
+    class_filter: Optional[list[str]] = None
+    label_map: Optional[dict[str, str]] = None
+    manifest: Optional[str] = None
+    manifest_split: Optional[str] = None
+
+    def resolved_name(self) -> str:
+        return self.name or f"{self.loader}_{self.extractor}_{self.split}"
+
+    def resolved_output(self) -> str:
+        return self.output or f"data/processed/{self.resolved_name()}"
+
+
+@dataclass
+class PipelineConfig:
+    dataset: str = "data/raw/BIRDeep_AudioAnnotations"
+    split: str = "train"
+    extractor: Optional[str] = None
+    loader: Optional[str] = None
+    output: Optional[str] = None
+    max_samples: Optional[int] = None
+    label_col: Optional[str] = None
+    text_col: str = "text"
+    audio_folder: Optional[str] = None
+    image_folder: Optional[str] = None
+    text_folder: Optional[str] = None
+    video_folder: Optional[str] = None
+    extractor_params: dict = field(default_factory=dict)
+    class_filter: Optional[list[str]] = None
+    label_map: Optional[dict[str, str]] = None
+    manifest: Optional[str] = None
+    manifest_split: Optional[str] = None
+    experiments: list[ExperimentConfig] = field(default_factory=list)
+
+    def resolved_experiments(self) -> list[ExperimentConfig]:
+        """Merge top-level defaults into each experiment; synthesize a single
+        experiment in single-run mode. Raises ValueError on missing
+        extractor/loader."""
+        if not self.experiments:
+            if not self.extractor or not self.loader:
+                raise ValueError(
+                    "PipelineConfig: 'extractor' and 'loader' are required "
+                    "when no 'experiments' list is provided."
+                )
+            return [
+                ExperimentConfig(
+                    extractor=self.extractor,
+                    loader=self.loader,
+                    dataset=self.dataset,
+                    split=self.split,
+                    output=self.output,
+                    max_samples=self.max_samples,
+                    label_col=self.label_col,
+                    text_col=self.text_col,
+                    audio_folder=self.audio_folder,
+                    image_folder=self.image_folder,
+                    text_folder=self.text_folder,
+                    video_folder=self.video_folder,
+                    extractor_params=self.extractor_params,
+                    class_filter=self.class_filter,
+                    label_map=self.label_map,
+                    manifest=self.manifest,
+                    manifest_split=self.manifest_split,
+                )
+            ]
+        out: list[ExperimentConfig] = []
+        for i, exp in enumerate(self.experiments):
+            merged = ExperimentConfig(
+                extractor=exp.extractor or self.extractor or "",
+                loader=exp.loader or self.loader or "",
+                name=exp.name,
+                dataset=exp.dataset or self.dataset,
+                split=exp.split if exp.split is not None else self.split,
+                output=exp.output or self.output,
+                max_samples=exp.max_samples if exp.max_samples is not None else self.max_samples,
+                label_col=exp.label_col or self.label_col,
+                text_col=exp.text_col or self.text_col,
+                audio_folder=exp.audio_folder or self.audio_folder,
+                image_folder=exp.image_folder or self.image_folder,
+                text_folder=exp.text_folder or self.text_folder,
+                video_folder=exp.video_folder or self.video_folder,
+                extractor_params=exp.extractor_params if exp.extractor_params else self.extractor_params,
+                class_filter=exp.class_filter if exp.class_filter is not None else self.class_filter,
+                label_map=exp.label_map if exp.label_map is not None else self.label_map,
+                manifest=exp.manifest or self.manifest,
+                manifest_split=exp.manifest_split or self.manifest_split,
+            )
+            if not merged.extractor:
+                raise ValueError(f"Experiment #{i} is missing 'extractor'.")
+            if not merged.loader:
+                raise ValueError(f"Experiment #{i} is missing 'loader'.")
+            out.append(merged)
+        return out
+
+
+def _alias_species_filter(d: dict) -> dict:
+    if "species_filter" in d and "class_filter" not in d:
+        d["class_filter"] = d.pop("species_filter")
+    else:
+        d.pop("species_filter", None)
+    return d
+
+
+def load_config(path: Path | str) -> PipelineConfig:
+    """Parse YAML -> validated PipelineConfig (unknown keys tolerated,
+    species_filter aliased to class_filter)."""
+    path = Path(path)
+    if not path.exists():
+        raise FileNotFoundError(f"Config file not found: {path}")
+    raw: dict = yaml.safe_load(path.read_text()) or {}
+    raw_experiments: list[dict] = raw.pop("experiments", []) or []
+    raw = _alias_species_filter(raw)
+    top_keys = {f.name for f in dc_fields(PipelineConfig)}
+    cfg = PipelineConfig(**{k: v for k, v in raw.items() if k in top_keys})
+    exp_keys = {f.name for f in dc_fields(ExperimentConfig)}
+    for raw_exp in raw_experiments:
+        raw_exp = _alias_species_filter(dict(raw_exp))
+        kw = {k: v for k, v in raw_exp.items() if k in exp_keys}
+        cfg.experiments.append(
+            ExperimentConfig(extractor=kw.pop("extractor", ""), loader=kw.pop("loader", ""), **kw)
+        )
+    cfg.resolved_experiments()  # validate
+    return cfg

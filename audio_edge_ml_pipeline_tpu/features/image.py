@@ -1,0 +1,269 @@
+"""Registered image extractors.
+
+Mirrors the reference surface (image/classical.py:85-217, image/deep.py:
+79-243): image_classical (HOG + LBP hist + gray hist + GLCM stats, 8196-d),
+image_pixels, image_mobilenet_v2. skimage is unavailable in this
+environment, so HOG/LBP/GLCM are implemented here in vectorized numpy with
+the standard definitions (9-orientation HOG on 8x8 cells with 2x2 L2-Hys
+blocks; uniform LBP P=24 R=3 -> 26 bins; 64-bin gray histogram; GLCM
+contrast/dissimilarity/homogeneity/energy/correlation/ASM).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from .base import BaseFeatureExtractor
+from .registry import register
+
+
+def _load_gray(path: Path, size: tuple[int, int], bbox_norm=None) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path).convert("L")
+    if bbox_norm is not None:
+        img = _crop_bbox(img, bbox_norm)
+    img = img.resize(size)
+    return np.asarray(img, dtype=np.float32) / 255.0
+
+
+def _load_rgb(path: Path, size: tuple[int, int], bbox_norm=None) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    if bbox_norm is not None:
+        img = _crop_bbox(img, bbox_norm)
+    img = img.resize(size)
+    return np.asarray(img, dtype=np.float32) / 255.0
+
+
+def _crop_bbox(img, bbox_norm):
+    """Crop a YOLO-style normalized (cx, cy, w, h) box."""
+    W, H = img.size
+    cx, cy, w, h = bbox_norm
+    left = max(int((cx - w / 2) * W), 0)
+    top = max(int((cy - h / 2) * H), 0)
+    right = min(int((cx + w / 2) * W), W)
+    bottom = min(int((cy + h / 2) * H), H)
+    if right > left and bottom > top:
+        return img.crop((left, top, right, bottom))
+    return img
+
+
+# ----------------------------------------------------------------------
+# Classical descriptors (numpy)
+# ----------------------------------------------------------------------
+
+
+def hog_features(gray: np.ndarray, orientations: int = 9, cell: int = 8, block: int = 2) -> np.ndarray:
+    """Histogram of oriented gradients with L2-Hys block normalization."""
+    gy, gx = np.gradient(gray)
+    mag = np.hypot(gx, gy)
+    ang = np.rad2deg(np.arctan2(gy, gx)) % 180.0
+    H, W = gray.shape
+    n_cy, n_cx = H // cell, W // cell
+    mag = mag[: n_cy * cell, : n_cx * cell]
+    ang = ang[: n_cy * cell, : n_cx * cell]
+    bin_w = 180.0 / orientations
+    b0 = np.floor(ang / bin_w).astype(int) % orientations
+    frac = ang / bin_w - np.floor(ang / bin_w)
+    b1 = (b0 + 1) % orientations
+    hist = np.zeros((n_cy, n_cx, orientations))
+    cy_idx = np.repeat(np.arange(n_cy), cell)[:, None] * np.ones((1, n_cx * cell), int)
+    cx_idx = np.ones((n_cy * cell, 1), int) * np.repeat(np.arange(n_cx), cell)[None, :]
+    np.add.at(hist, (cy_idx, cx_idx, b0), mag * (1 - frac))
+    np.add.at(hist, (cy_idx, cx_idx, b1), mag * frac)
+    # block normalization (L2-Hys)
+    blocks = []
+    for by in range(n_cy - block + 1):
+        for bx in range(n_cx - block + 1):
+            v = hist[by : by + block, bx : bx + block].ravel()
+            v = v / np.sqrt(np.sum(v**2) + 1e-12)
+            v = np.minimum(v, 0.2)
+            v = v / np.sqrt(np.sum(v**2) + 1e-12)
+            blocks.append(v)
+    return np.concatenate(blocks) if blocks else np.zeros(0)
+
+
+def lbp_histogram(gray: np.ndarray, P: int = 24, R: float = 3.0) -> np.ndarray:
+    """Uniform LBP histogram with P+2 bins (26 for P=24)."""
+    H, W = gray.shape
+    ys, xs = np.mgrid[0:H, 0:W]
+    angles = 2 * np.pi * np.arange(P) / P
+    count_ones = np.zeros((H, W), int)
+    transitions = np.zeros((H, W), int)
+    prev_bit = None
+    first_bit = None
+    for k in range(P):
+        dy, dx = -R * np.sin(angles[k]), R * np.cos(angles[k])
+        yy = np.clip(ys + dy, 0, H - 1)
+        xx = np.clip(xs + dx, 0, W - 1)
+        # bilinear sample
+        y0, x0 = np.floor(yy).astype(int), np.floor(xx).astype(int)
+        y1, x1 = np.minimum(y0 + 1, H - 1), np.minimum(x0 + 1, W - 1)
+        fy, fx = yy - y0, xx - x0
+        val = (
+            gray[y0, x0] * (1 - fy) * (1 - fx)
+            + gray[y1, x0] * fy * (1 - fx)
+            + gray[y0, x1] * (1 - fy) * fx
+            + gray[y1, x1] * fy * fx
+        )
+        bit = (val >= gray).astype(int)
+        count_ones += bit
+        if prev_bit is not None:
+            transitions += bit != prev_bit
+        else:
+            first_bit = bit
+        prev_bit = bit
+    transitions += prev_bit != first_bit
+    uniform = transitions <= 2
+    codes = np.where(uniform, count_ones, P + 1)  # non-uniform -> last bin
+    hist = np.bincount(codes.ravel(), minlength=P + 2).astype(np.float64)
+    return (hist / hist.sum()).astype(np.float32)
+
+
+def glcm_stats(gray: np.ndarray, levels: int = 32) -> np.ndarray:
+    """Gray co-occurrence (distance 1, angle 0) -> 6 Haralick stats."""
+    q = np.clip((gray * levels).astype(int), 0, levels - 1)
+    a, b = q[:, :-1].ravel(), q[:, 1:].ravel()
+    glcm = np.zeros((levels, levels))
+    np.add.at(glcm, (a, b), 1.0)
+    glcm = glcm + glcm.T  # symmetric
+    glcm /= max(glcm.sum(), 1.0)
+    i, j = np.mgrid[0:levels, 0:levels]
+    diff = (i - j).astype(np.float64)
+    contrast = float((glcm * diff**2).sum())
+    dissim = float((glcm * np.abs(diff)).sum())
+    homog = float((glcm / (1.0 + diff**2)).sum())
+    asm = float((glcm**2).sum())
+    energy = float(np.sqrt(asm))
+    mu_i = float((glcm * i).sum())
+    mu_j = float((glcm * j).sum())
+    si = np.sqrt((glcm * (i - mu_i) ** 2).sum())
+    sj = np.sqrt((glcm * (j - mu_j) ** 2).sum())
+    corr = float((glcm * (i - mu_i) * (j - mu_j)).sum() / (si * sj)) if si > 0 and sj > 0 else 1.0
+    return np.array([contrast, dissim, homog, energy, corr, asm], dtype=np.float32)
+
+
+def classical_image_vector(gray: np.ndarray) -> np.ndarray:
+    hog = hog_features(gray)
+    lbp = lbp_histogram(gray)
+    hist, _ = np.histogram(gray, bins=64, range=(0.0, 1.0))
+    hist = hist.astype(np.float32) / max(hist.sum(), 1)
+    glcm = glcm_stats(gray)
+    return np.concatenate([hog, lbp, hist, glcm]).astype(np.float32)
+
+
+@register
+class ImageClassicalExtractor(BaseFeatureExtractor):
+    """HOG + LBP + gray-hist + GLCM flat vector (8196-d at 128x128);
+    reference image/classical.py:85-217."""
+
+    name = "image_classical"
+    feature_type = "classical"
+    modality = "image"
+
+    def __init__(self, image_size: int = 128) -> None:
+        self.image_size = image_size
+
+    def extract(self, sample_path, bbox_norm=None, **_kw) -> np.ndarray:
+        gray = _load_gray(sample_path, (self.image_size, self.image_size), bbox_norm)
+        return classical_image_vector(gray)
+
+
+@register
+class ImagePixels(BaseFeatureExtractor):
+    """Normalized pixel grid (H, W, C) in [0,1]; reference image/deep.py:79-144."""
+
+    name = "image_pixels"
+    feature_type = "deep"
+    modality = "image"
+
+    def __init__(self, image_size: int = 64, grayscale: bool = True) -> None:
+        self.image_size = image_size
+        self.grayscale = grayscale
+
+    def extract(self, sample_path, bbox_norm=None, **_kw) -> np.ndarray:
+        size = (self.image_size, self.image_size)
+        if self.grayscale:
+            return _load_gray(sample_path, size, bbox_norm)[..., None]
+        return _load_rgb(sample_path, size, bbox_norm)
+
+
+@register
+class ImageMobileNetV2(BaseFeatureExtractor):
+    """MobileNetV2 pooled embedding (1280,); flax backbone (see
+    models/backbones.py re: offline weights). Input preprocessed to [-1, 1]
+    (Keras preprocess_input contract, reference image/deep.py:151-243)."""
+
+    name = "image_mobilenet_v2"
+    feature_type = "deep"
+    modality = "image"
+
+    def __init__(self, image_size: int = 224, weights: Optional[str] = None, batch_size: int = 32) -> None:
+        self.image_size = image_size
+        self.weights = weights
+        self.batch_size = batch_size
+        self._embed = None
+
+    def _embedder(self):
+        if self._embed is None:
+            from ..models.backbones import mobilenet_v2_embedder
+
+            self._embed = mobilenet_v2_embedder(self.image_size, self.weights)
+        return self._embed
+
+    def _preprocess(self, sample_path, bbox_norm):
+        rgb = _load_rgb(sample_path, (self.image_size, self.image_size), bbox_norm)
+        return rgb * 2.0 - 1.0
+
+    def extract(self, sample_path, bbox_norm=None, **_kw) -> np.ndarray:
+        x = self._preprocess(sample_path, bbox_norm)
+        return np.asarray(self._embedder()(x[None]))[0].astype(np.float32)
+
+    def extract_dataset(self, loader, max_samples=None):
+        """Batched device path: decode on host threads, embed in batches."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .base import _collect
+
+        samples = []
+        for i, item in enumerate(loader):
+            if max_samples is not None and i >= max_samples:
+                break
+            samples.append(item)
+
+        feats, labels, metas = [], [], []
+        label_to_idx: dict[str, int] = {}
+        embed = self._embedder()
+
+        def decode(item):
+            path, label, meta = item
+            try:
+                return self._preprocess(path, meta.get("bbox_norm")), label, meta, None
+            except Exception as exc:
+                return None, label, meta, (path, exc)
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            for s in range(0, len(samples), self.batch_size):
+                out = list(pool.map(decode, samples[s : s + self.batch_size]))
+                good = [(x, l, m) for x, l, m, e in out if x is not None]
+                if not good:
+                    continue
+                batch = np.stack([x for x, _, _ in good])
+                # pad to fixed batch for stable jit shapes
+                pad = self.batch_size - len(batch)
+                if pad:
+                    batch = np.concatenate([batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
+                emb = np.asarray(embed(batch))[: len(good)]
+                for j, (_, label, meta) in enumerate(good):
+                    feats.append(emb[j].astype(np.float32))
+                    metas.append(meta)
+                    if label is not None:
+                        if label not in label_to_idx:
+                            label_to_idx[label] = len(label_to_idx)
+                        labels.append(label_to_idx[label])
+        return _collect(feats, labels, metas, label_to_idx, self.feature_type, self.modality)

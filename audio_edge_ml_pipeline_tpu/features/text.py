@@ -1,0 +1,215 @@
+"""Registered text extractors.
+
+Mirrors the reference surface (text/classical.py:118-317, text/deep.py:
+47-217): corpus-fit vectorizers (tfidf / bow / char-ngram) that override
+``extract_dataset`` to fit before transforming, a sentence-embedding
+extractor, and a BERT token-id extractor.
+
+Offline notes: sentence-transformers / HF model weights cannot be
+downloaded here (zero egress). text_sentence_embed therefore defaults to a
+deterministic feature-hashing projection embedding (same 384-d output
+contract); if a local HF model directory is supplied it is used instead.
+text_bert_tokens uses a local tokenizer when given, else a stable
+hash-based vocabulary with BERT-style special token ids.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Optional
+
+import numpy as np
+
+from .base import BaseFeatureExtractor, _collect
+from .registry import register
+
+
+def _doc_text(sample_path, kwargs) -> str:
+    if kwargs.get("text") is not None:
+        return str(kwargs["text"])
+    if sample_path is not None:
+        return open(sample_path, "r", encoding="utf-8", errors="replace").read()
+    raise ValueError("No text content: need 'text' metadata or a sample path.")
+
+
+class _CorpusFitExtractor(BaseFeatureExtractor):
+    """Stateful fit-then-transform base: extract() is valid only after
+    extract_dataset() has fitted the vectorizer (reference design note
+    text/classical.py:15-24)."""
+
+    modality = "text"
+    feature_type = "classical"
+
+    def __init__(self) -> None:
+        self._vectorizer = None
+
+    def _build_vectorizer(self):
+        raise NotImplementedError
+
+    def extract(self, sample_path, **kwargs) -> np.ndarray:
+        if self._vectorizer is None:
+            raise RuntimeError(
+                f"{self.name}: vectorizer not fitted. Run extract_dataset() first."
+            )
+        text = _doc_text(sample_path, kwargs)
+        return np.asarray(self._vectorizer.transform([text]).todense(), dtype=np.float32)[0]
+
+    def extract_dataset(self, loader, max_samples=None):
+        texts, labels, metas = [], [], []
+        label_to_idx: dict[str, int] = {}
+        for i, (path, label, meta) in enumerate(loader):
+            if max_samples is not None and i >= max_samples:
+                break
+            try:
+                texts.append(_doc_text(path, meta))
+            except Exception:
+                continue
+            metas.append(meta)
+            if label is not None:
+                if label not in label_to_idx:
+                    label_to_idx[label] = len(label_to_idx)
+                labels.append(label_to_idx[label])
+        if not texts:
+            raise RuntimeError("No features were successfully extracted.")
+        self._vectorizer = self._build_vectorizer()
+        X = self._vectorizer.fit_transform(texts)
+        feats = [np.asarray(row.todense(), dtype=np.float32)[0] for row in X]
+        return _collect(feats, labels, metas, label_to_idx, self.feature_type, self.modality)
+
+
+@register
+class TextTFIDFExtractor(_CorpusFitExtractor):
+    name = "text_tfidf"
+
+    def __init__(self, max_features: int = 5000, ngram_range: tuple = (1, 2), min_df: int = 1) -> None:
+        super().__init__()
+        self.max_features = max_features
+        self.ngram_range = tuple(ngram_range)
+        self.min_df = min_df
+
+    def _build_vectorizer(self):
+        from sklearn.feature_extraction.text import TfidfVectorizer
+
+        return TfidfVectorizer(max_features=self.max_features, ngram_range=self.ngram_range, min_df=self.min_df)
+
+
+@register
+class TextBOWExtractor(_CorpusFitExtractor):
+    name = "text_bow"
+
+    def __init__(self, max_features: int = 5000, min_df: int = 1) -> None:
+        super().__init__()
+        self.max_features = max_features
+        self.min_df = min_df
+
+    def _build_vectorizer(self):
+        from sklearn.feature_extraction.text import CountVectorizer
+
+        return CountVectorizer(max_features=self.max_features, min_df=self.min_df)
+
+
+@register
+class TextCharNgramExtractor(_CorpusFitExtractor):
+    name = "text_char_ngram"
+
+    def __init__(self, max_features: int = 5000, ngram_range: tuple = (2, 4)) -> None:
+        super().__init__()
+        self.max_features = max_features
+        self.ngram_range = tuple(ngram_range)
+
+    def _build_vectorizer(self):
+        from sklearn.feature_extraction.text import TfidfVectorizer
+
+        return TfidfVectorizer(analyzer="char_wb", max_features=self.max_features, ngram_range=self.ngram_range)
+
+
+_TOKEN_RE = re.compile(r"[a-z0-9']+")
+
+
+def _hash_embed(text: str, dim: int) -> np.ndarray:
+    """Deterministic feature-hashing embedding: each token hashes to a
+    signed coordinate; L2-normalized bag-of-hashed-tokens."""
+    v = np.zeros(dim, np.float32)
+    for tok in _TOKEN_RE.findall(text.lower()):
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+        idx = h % dim
+        sign = 1.0 if (h >> 63) & 1 else -1.0
+        v[idx] += sign
+    n = np.linalg.norm(v)
+    return v / n if n > 0 else v
+
+
+@register
+class TextSentenceEmbedding(BaseFeatureExtractor):
+    """384-d sentence embedding (all-MiniLM-L6-v2 contract, reference
+    text/deep.py:47-135). Uses a local HF model dir when provided; otherwise
+    the deterministic hashing projection documented above."""
+
+    name = "text_sentence_embed"
+    feature_type = "deep"
+    modality = "text"
+
+    def __init__(self, model_name: str = "all-MiniLM-L6-v2", dim: int = 384, local_model_dir: Optional[str] = None) -> None:
+        self.model_name = model_name
+        self.dim = dim
+        self.local_model_dir = local_model_dir
+        self._model = None
+        if local_model_dir:
+            try:
+                from transformers import AutoModel, AutoTokenizer
+
+                self._tok = AutoTokenizer.from_pretrained(local_model_dir)
+                self._model = AutoModel.from_pretrained(local_model_dir)
+            except Exception:
+                self._model = None
+
+    def extract(self, sample_path, **kwargs) -> np.ndarray:
+        text = _doc_text(sample_path, kwargs)
+        if self._model is not None:
+            import torch
+
+            with torch.no_grad():
+                toks = self._tok(text, return_tensors="pt", truncation=True, max_length=256)
+                out = self._model(**toks).last_hidden_state.mean(dim=1)[0]
+            emb = out.numpy().astype(np.float32)
+            n = np.linalg.norm(emb)
+            return emb / n if n > 0 else emb
+        return _hash_embed(text, self.dim)
+
+
+@register
+class TextBERTTokens(BaseFeatureExtractor):
+    """Fixed-length token-id sequence (max_length,) (reference
+    text/deep.py:136-217). Local tokenizer when available; else a stable
+    hashed vocabulary with [CLS]=101 / [SEP]=102 / [PAD]=0 conventions."""
+
+    name = "text_bert_tokens"
+    feature_type = "deep"
+    modality = "text"
+
+    def __init__(self, model_name: str = "bert-base-uncased", max_length: int = 128, local_model_dir: Optional[str] = None) -> None:
+        self.model_name = model_name
+        self.max_length = max_length
+        self._tok = None
+        if local_model_dir:
+            try:
+                from transformers import AutoTokenizer
+
+                self._tok = AutoTokenizer.from_pretrained(local_model_dir)
+            except Exception:
+                self._tok = None
+
+    def extract(self, sample_path, **kwargs) -> np.ndarray:
+        text = _doc_text(sample_path, kwargs)
+        if self._tok is not None:
+            ids = self._tok(text, truncation=True, max_length=self.max_length, padding="max_length")["input_ids"]
+            return np.asarray(ids, dtype=np.int32)
+        vocab_size = 30522
+        ids = [101]
+        for tok in _TOKEN_RE.findall(text.lower())[: self.max_length - 2]:
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:4], "little")
+            ids.append(1000 + h % (vocab_size - 1000))
+        ids.append(102)
+        ids = ids[: self.max_length] + [0] * max(0, self.max_length - len(ids))
+        return np.asarray(ids, dtype=np.int32)

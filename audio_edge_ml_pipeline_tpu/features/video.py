@@ -1,0 +1,158 @@
+"""Registered video extractors.
+
+Mirrors the reference surface (video/classical.py:53-298, video/deep.py:
+37-216): evenly-sampled frames via cv2, per-frame classical descriptors
+aggregated over time (+ optional Farneback optical-flow stats), raw frame
+sequences, and per-frame MobileNetV2 embedding sequences.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from .base import BaseFeatureExtractor
+from .image import classical_image_vector, glcm_stats, hog_features, lbp_histogram
+from .registry import register
+
+
+def _open_and_sample(path: Path, max_frames: int, size: tuple[int, int], gray: bool):
+    """Decode up to max_frames evenly spaced frames -> (T, H, W[, 3]) float32 [0,1]."""
+    import cv2
+
+    cap = cv2.VideoCapture(str(path))
+    if not cap.isOpened():
+        raise IOError(f"Cannot open video: {path}")
+    n_total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) or 0
+    if n_total <= 0:
+        # streaming fallback: read everything, then subsample
+        frames_all = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frames_all.append(frame)
+        cap.release()
+        if not frames_all:
+            raise IOError(f"No frames decoded: {path}")
+        idxs = np.linspace(0, len(frames_all) - 1, min(max_frames, len(frames_all))).astype(int)
+        raw = [frames_all[i] for i in idxs]
+    else:
+        idxs = np.linspace(0, n_total - 1, min(max_frames, n_total)).astype(int)
+        raw = []
+        for i in idxs:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, int(i))
+            ok, frame = cap.read()
+            if ok:
+                raw.append(frame)
+        cap.release()
+        if not raw:
+            raise IOError(f"No frames decoded: {path}")
+    out = []
+    for frame in raw:
+        frame = cv2.resize(frame, size)
+        if gray:
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+        else:
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        out.append(frame.astype(np.float32) / 255.0)
+    return np.stack(out)
+
+
+@register
+class VideoClassicalExtractor(BaseFeatureExtractor):
+    """Per-frame HOG+LBP+hist+GLCM, mean+std over time; optional Farneback
+    optical-flow magnitude stats (reference video/classical.py:9-33)."""
+
+    name = "video_classical"
+    feature_type = "classical"
+    modality = "video"
+
+    def __init__(self, max_frames: int = 16, frame_size: int = 64, optical_flow: bool = False) -> None:
+        self.max_frames = max_frames
+        self.frame_size = frame_size
+        self.optical_flow = optical_flow
+
+    def extract(self, sample_path, **_kw) -> np.ndarray:
+        frames = _open_and_sample(sample_path, self.max_frames, (self.frame_size, self.frame_size), gray=True)
+        per_frame = np.stack([classical_image_vector(f) for f in frames])  # (T, D)
+        feat = np.concatenate([per_frame.mean(axis=0), per_frame.std(axis=0)])
+        if self.optical_flow and len(frames) >= 2:
+            import cv2
+
+            mags = []
+            prev = (frames[0] * 255).astype(np.uint8)
+            for f in frames[1:]:
+                cur = (f * 255).astype(np.uint8)
+                flow = cv2.calcOpticalFlowFarneback(prev, cur, None, 0.5, 3, 15, 3, 5, 1.2, 0)
+                mags.append(np.linalg.norm(flow, axis=-1))
+                prev = cur
+            m = np.stack(mags)
+            flow_stats = np.array(
+                [
+                    m.mean(), m.std(), m.max(), np.median(m),
+                    np.percentile(m, 90), np.percentile(m, 10),
+                    m.mean(axis=(1, 2)).std(),  # temporal variation
+                    float((m > m.mean()).mean()),
+                    m.sum(axis=(1, 2)).max() / (m.shape[1] * m.shape[2]),
+                    float(len(mags)),
+                ],
+                dtype=np.float32,
+            )
+            feat = np.concatenate([feat, flow_stats])
+        return feat.astype(np.float32)
+
+
+@register
+class VideoFrameSequence(BaseFeatureExtractor):
+    """(T, H, W, C) normalized frame stack (reference video/deep.py:37-110)."""
+
+    name = "video_frame_seq"
+    feature_type = "deep"
+    modality = "video"
+
+    def __init__(self, max_frames: int = 16, frame_size: int = 64, grayscale: bool = False) -> None:
+        self.max_frames = max_frames
+        self.frame_size = frame_size
+        self.grayscale = grayscale
+
+    def extract(self, sample_path, **_kw) -> np.ndarray:
+        frames = _open_and_sample(
+            sample_path, self.max_frames, (self.frame_size, self.frame_size), gray=self.grayscale
+        )
+        if self.grayscale:
+            frames = frames[..., None]
+        # pad to fixed T
+        if len(frames) < self.max_frames:
+            pad = np.zeros((self.max_frames - len(frames),) + frames.shape[1:], frames.dtype)
+            frames = np.concatenate([frames, pad])
+        return frames.astype(np.float32)
+
+
+@register
+class VideoMobileNetV2Sequence(BaseFeatureExtractor):
+    """(T, 1280) per-frame MobileNetV2 embeddings (reference
+    video/deep.py:112-216); frames batched through the flax backbone."""
+
+    name = "video_mobilenet_v2_seq"
+    feature_type = "deep"
+    modality = "video"
+
+    def __init__(self, max_frames: int = 16, image_size: int = 224, weights: Optional[str] = None) -> None:
+        self.max_frames = max_frames
+        self.image_size = image_size
+        self.weights = weights
+        self._embed = None
+
+    def extract(self, sample_path, **_kw) -> np.ndarray:
+        if self._embed is None:
+            from ..models.backbones import mobilenet_v2_embedder
+
+            self._embed = mobilenet_v2_embedder(self.image_size, self.weights)
+        frames = _open_and_sample(sample_path, self.max_frames, (self.image_size, self.image_size), gray=False)
+        x = frames * 2.0 - 1.0
+        if len(x) < self.max_frames:
+            x = np.concatenate([x, np.zeros((self.max_frames - len(x),) + x.shape[1:], x.dtype)])
+        return np.asarray(self._embed(x)).astype(np.float32)

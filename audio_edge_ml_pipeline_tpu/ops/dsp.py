@@ -546,30 +546,39 @@ def tonnetz_from_chroma(chroma: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("dc,bct->bdt", phi, chroma / length, precision=HIGHEST)
 
 
+def _windowed_sum(x: jnp.ndarray, window: int, hop: int) -> jnp.ndarray:
+    """Strided window sums via an all-ones convolution. (B, n) -> (B, T').
+
+    A ones-kernel conv maps onto the MXU like the STFT conv does;
+    lax.reduce_window with a large window blows TPU scoped VMEM (observed:
+    39 MB requested for a (1, 2047) window vs the 16 MB limit)."""
+    kern = jnp.ones((1, 1, window), x.dtype)
+    out = lax.conv_general_dilated(
+        x[:, None, :], kern, window_strides=(hop,), padding="VALID",
+        dimension_numbers=("NCW", "OIW", "NCW"), precision=HIGHEST,
+    )
+    return out[:, 0, :]
+
+
 def zero_crossing_rate(
     y: jnp.ndarray, frame_length: int = 2048, hop_length: int = 512, threshold: float = 1e-10
 ) -> jnp.ndarray:
-    """(B, n) -> (B, T). Windowed crossing counts via reduce_window over the
-    per-sample crossing indicator (exact, no frame materialization)."""
+    """(B, n) -> (B, T). Windowed crossing counts; no frame materialization:
+    frame t's within-frame adjacent pairs are the global adjacent pairs at
+    positions [t*hop, t*hop + frame_length - 1)."""
     ypad = jnp.pad(y, ((0, 0), (frame_length // 2, frame_length // 2)), mode="edge")
     yy = jnp.where(jnp.abs(ypad) <= threshold, 0.0, ypad)
     sb = jnp.signbit(yy)
     cross = jnp.abs(jnp.diff(sb.astype(jnp.float32), axis=1))  # (B, n_pad-1)
-    # frame t covers padded samples [t*hop, t*hop + frame_length); its
-    # within-frame adjacent pairs are cross[t*hop : t*hop + frame_length - 1]
-    sums = lax.reduce_window(
-        cross, 0.0, lax.add, (1, frame_length - 1), (1, hop_length), "VALID"
-    )
+    sums = _windowed_sum(cross, frame_length - 1, hop_length)
     T = n_frames_for(y.shape[1], hop_length)
     return sums[:, :T] / frame_length
 
 
 def rms(y: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndarray:
-    """(B, n) -> (B, T); center=True constant padding, exact window sums."""
+    """(B, n) -> (B, T); center=True constant padding, conv window sums."""
     ypad = jnp.pad(y, ((0, 0), (frame_length // 2, frame_length // 2)))
-    sums = lax.reduce_window(
-        ypad * ypad, 0.0, lax.add, (1, frame_length), (1, hop_length), "VALID"
-    )
+    sums = _windowed_sum(ypad * ypad, frame_length, hop_length)
     T = n_frames_for(y.shape[1], hop_length)
     return jnp.sqrt(sums[:, :T] / frame_length)
 

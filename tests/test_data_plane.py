@@ -1,0 +1,244 @@
+"""Data plane: WAV I/O, loaders, registry, batched extract_dataset,
+FeatureSet round-trip, pipeline CLI, label_map."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    subprocess.run(
+        [sys.executable, str(REPO / "tools/make_synth_dataset.py"), str(root), "--classes", "4", "--per-class", "6"],
+        check=True,
+        cwd=REPO,
+    )
+    return root
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    from audio_edge_ml_pipeline_tpu.data.audio_io import load_audio, probe_audio, read_wav, write_wav
+
+    y = (0.5 * np.sin(2 * np.pi * 440 * np.arange(16000) / 16000)).astype(np.float32)
+    write_wav(tmp_path / "t.wav", y, 16000)
+    back, sr = read_wav(tmp_path / "t.wav")
+    assert sr == 16000 and back.shape == (16000, 1)
+    np.testing.assert_allclose(back[:, 0], y, atol=1.0 / 32000)
+    info = probe_audio(tmp_path / "t.wav")
+    assert info["sample_rate"] == 16000 and info["n_channels"] == 1
+    assert abs(info["duration"] - 1.0) < 1e-6
+    # offset/duration slicing + resampling
+    seg, sr2 = load_audio(tmp_path / "t.wav", sr=8000, offset=0.25, duration=0.5)
+    assert sr2 == 8000
+    assert abs(len(seg) - 4000) <= 2
+    # stereo downmix
+    write_wav(tmp_path / "st.wav", np.stack([y, -y], axis=1), 16000)
+    mono, _ = load_audio(tmp_path / "st.wav", sr=16000)
+    assert np.abs(mono).max() < 1e-4  # L/R cancel
+
+
+def test_resample_tone_preserved(tmp_path):
+    from audio_edge_ml_pipeline_tpu.data.audio_io import resample
+
+    sr0, sr1 = 44100, 16000
+    t = np.arange(sr0) / sr0
+    y = np.sin(2 * np.pi * 1000 * t).astype(np.float32)
+    z = resample(y, sr0, sr1)
+    assert abs(len(z) - sr1) <= 2
+    # dominant frequency still 1 kHz
+    spec = np.abs(np.fft.rfft(z[200:-200] * np.hanning(len(z) - 400)))
+    peak_hz = spec.argmax() * sr1 / (len(z) - 400)
+    assert abs(peak_hz - 1000) < 10
+
+
+def test_fsc22_loader_split_determinism(synth_root):
+    from audio_edge_ml_pipeline_tpu.data.loaders import FSC22Loader
+
+    root = synth_root / "fsc22"
+    tr1 = FSC22Loader(root, split="train")
+    tr2 = FSC22Loader(root, split="train")
+    assert len(tr1) == len(tr2) > 0
+    files1 = [m["filename"] for _, _, m in tr1]
+    files2 = [m["filename"] for _, _, m in tr2]
+    assert files1 == files2
+    va = FSC22Loader(root, split="validation")
+    te = FSC22Loader(root, split="test")
+    al = FSC22Loader(root, split="all")
+    assert len(tr1) + len(va) + len(te) == len(al) == 24
+    # splits are disjoint
+    all_files = files1 + [m["filename"] for _, _, m in va] + [m["filename"] for _, _, m in te]
+    assert len(set(all_files)) == len(all_files)
+    # class filter
+    some_class = tr1.class_names[0]
+    filt = FSC22Loader(root, split="all", class_filter={some_class})
+    assert filt.n_classes == 1 and len(filt) == 6
+
+
+def test_audio_folder_loader_and_manifest(synth_root, tmp_path):
+    from audio_edge_ml_pipeline_tpu.data.loaders import AudioFolderLoader
+
+    root = synth_root / "audio_folder"
+    loader = AudioFolderLoader(root)
+    assert len(loader) == 24 and loader.n_classes == 4
+    _, label, meta = next(iter(loader))
+    assert meta["sample_rate"] == 16000 and meta["duration"] > 4.9
+    # manifest filter
+    items = list(loader)
+    keep = [str(p.relative_to(root)) for p, _, _ in items[:5]]
+    manifest = tmp_path / "split_manifest.json"
+    manifest.write_text(json.dumps({"train": keep, "val": [], "test": []}))
+    filt = AudioFolderLoader(root, manifest=manifest, manifest_split="train")
+    assert len(filt) == 5
+    with pytest.raises(ValueError):
+        AudioFolderLoader(root, manifest=manifest)
+
+
+def test_registry():
+    from audio_edge_ml_pipeline_tpu import features as F
+
+    names = F.list_extractors()
+    for expected in [
+        "audio_classical", "audio_mel_spec", "audio_waveform", "audio_cqt", "audio_mfcc_seq",
+        "image_classical", "image_pixels", "image_mobilenet_v2",
+        "text_tfidf", "text_bow", "text_char_ngram", "text_sentence_embed", "text_bert_tokens",
+        "tabular_classical", "tabular_polynomial",
+        "video_classical", "video_frame_seq", "video_mobilenet_v2_seq",
+    ]:
+        assert expected in names, expected
+    with pytest.raises(KeyError):
+        F.get("nope")
+
+
+def test_batched_mel_extract_dataset_matches_golden(synth_root):
+    from audio_edge_ml_pipeline_tpu import features as F
+    from audio_edge_ml_pipeline_tpu.data.audio_io import load_audio
+    from audio_edge_ml_pipeline_tpu.data.loaders import FSC22Loader
+    from audio_edge_ml_pipeline_tpu.ops import golden as g
+
+    loader = FSC22Loader(synth_root / "fsc22", split="train")
+    ex = F.get("audio_mel_spec")(duration=5.0)
+    fs = ex.extract_dataset(loader)
+    assert fs.features.shape[1:] == (40, 501)
+    assert fs.feature_type == "deep" and fs.modality == "audio"
+    assert fs.n_classes == 4 and len(fs.label_names) == 4
+    # golden check on sample 0 (label interning order = loader order)
+    paths = [(p, m) for p, _, m in loader]
+    y, _ = load_audio(paths[0][0], sr=16000)
+    y = np.pad(y[:80000], (0, max(0, 80000 - len(y))))
+    ref = g.mel_spec_feature(y, sr=16000)
+    assert np.max(np.abs(fs.features[0] - ref)) <= 1e-5
+
+
+def test_variable_length_masked_dataset(synth_root, tmp_path):
+    """Clips of equal natural length, duration=None -> masked batch path."""
+    from audio_edge_ml_pipeline_tpu import features as F
+    from audio_edge_ml_pipeline_tpu.data.audio_io import load_audio, write_wav
+    from audio_edge_ml_pipeline_tpu.data.loaders import AudioFolderLoader
+    from audio_edge_ml_pipeline_tpu.ops import golden as g
+
+    root = tmp_path / "varlen"
+    n = 52341  # deliberately not a bucket multiple
+    for c in range(2):
+        d = root / f"c{c}"
+        d.mkdir(parents=True)
+        rng = np.random.default_rng(c)
+        for i in range(3):
+            y = (0.4 * np.sin(2 * np.pi * (300 + 200 * c) * np.arange(n) / 16000)
+                 + 0.05 * rng.standard_normal(n)).astype(np.float32)
+            write_wav(d / f"{i}.wav", y, 16000)
+    loader = AudioFolderLoader(root)
+    fs = F.get("audio_mel_spec")().extract_dataset(loader)
+    T = 1 + n // 160
+    assert fs.features.shape == (6, 40, T)
+    y0, _ = load_audio(sorted((root / "c0").glob("*.wav"))[0], sr=16000)
+    ref = g.mel_spec_feature(y0, sr=16000)
+    assert np.max(np.abs(fs.features[0] - ref)) <= 1e-5
+
+
+def test_classical_extract_dataset(synth_root):
+    from audio_edge_ml_pipeline_tpu import features as F
+    from audio_edge_ml_pipeline_tpu.data.loaders import FSC22Loader
+
+    loader = FSC22Loader(synth_root / "fsc22", split="validation")
+    ex = F.get("audio_classical")(sample_rate=16000)
+    fs = ex.extract_dataset(loader, max_samples=4)
+    assert fs.features.shape == (4, 302)
+    assert np.isfinite(fs.features).all()
+
+
+def test_featureset_roundtrip(tmp_path):
+    from audio_edge_ml_pipeline_tpu.features.base import FeatureSet
+    from audio_edge_ml_pipeline_tpu.features.pipeline import FeaturePipeline, apply_label_map
+
+    fs = FeatureSet(
+        features=np.arange(12, dtype=np.float32).reshape(4, 3),
+        feature_type="classical",
+        modality="audio",
+        metadata=[{"i": i} for i in range(4)],
+        labels=np.array([0, 1, 0, 2], np.int32),
+        label_names=["a", "b", "c"],
+    )
+    FeaturePipeline.save(fs, tmp_path / "out")
+    fs2 = FeaturePipeline.load(tmp_path / "out")
+    np.testing.assert_array_equal(fs2.features, fs.features)
+    np.testing.assert_array_equal(fs2.labels, fs.labels)
+    assert fs2.label_names == fs.label_names
+    assert fs2.n_classes == 3
+    info = json.loads((tmp_path / "out" / "info.json").read_text())
+    assert info == {
+        "feature_type": "classical", "modality": "audio", "n_samples": 4,
+        "feature_shape": [3], "n_classes": 3, "is_supervised": True,
+    }
+    # label_map collapse
+    fs3 = apply_label_map(fs2, {"a": "x", "c": "x"})
+    assert fs3.label_names == ["x", "b"]
+    np.testing.assert_array_equal(fs3.labels, [0, 1, 0, 0])
+
+
+def test_text_tabular_image_extractors(synth_root):
+    from audio_edge_ml_pipeline_tpu import features as F
+    from audio_edge_ml_pipeline_tpu.data.loaders import ImageFolderLoader, TabularLoader, TextCSVLoader
+
+    tl = TextCSVLoader(synth_root / "text.csv", text_col="text", label_col="label")
+    fs = F.get("text_tfidf")(max_features=64).extract_dataset(tl)
+    assert fs.n_classes == 3 and fs.features.shape[0] == 60
+    emb = F.get("text_sentence_embed")().extract(None, text="a river flows")
+    assert emb.shape == (384,) and abs(np.linalg.norm(emb) - 1.0) < 1e-5
+    toks = F.get("text_bert_tokens")(max_length=16).extract(None, text="hello world")
+    assert toks.shape == (16,) and toks[0] == 101
+
+    tab = TabularLoader(synth_root / "tabular.csv", label_col="label")
+    fst = F.get("tabular_classical")().extract_dataset(tab)
+    assert fst.n_classes == 3 and np.isfinite(fst.features).all()
+    fsp = F.get("tabular_polynomial")().extract_dataset(tab)
+    assert fsp.features.shape[1] > fst.features.shape[1]
+
+    il = ImageFolderLoader(synth_root / "images")
+    fsi = F.get("image_classical")().extract_dataset(il, max_samples=6)
+    assert fsi.features.shape[1] == 8196  # HOG 8100 + LBP 26 + hist 64 + GLCM 6
+    fpx = F.get("image_pixels")(image_size=32).extract_dataset(il, max_samples=3)
+    assert fpx.features.shape == (3, 32, 32, 1)
+
+
+def test_pipeline_cli_end_to_end(synth_root, tmp_path):
+    out = tmp_path / "cli_out"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "audio_edge_ml_pipeline_tpu.features.pipeline",
+            "--loader", "fsc22", "--dataset", str(synth_root / "fsc22"),
+            "--extractor", "audio_mel_spec", "--split", "validation",
+            "--output", str(out), "--max-samples", "4",
+        ],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr
+    assert (out / "features.npy").exists() and (out / "info.json").exists()
+    feats = np.load(out / "features.npy")
+    assert feats.shape[0] == 4 and feats.shape[1] == 40
