@@ -1,0 +1,372 @@
+"""Classical trainers.
+
+Registered names and behavior match the reference (models/classical.py:
+60-513): svm, lda, decision_tree, random_forest, knn, kmeans, pca_svm,
+pca_lda, pca_knn. Hybrid execution backend:
+
+- ``knn`` and ``kmeans`` are JAX-native — pairwise-distance matmuls and
+  Lloyd's iterations run on the accelerator (SURVEY.md §7 step 4).
+- Margin/tree estimators (svm RBF + probability calibration, lda, trees,
+  PCA pipelines) stay on sklearn: tiny models where BLAS on host is already
+  optimal and exact sklearn semantics matter for selection decisions.
+
+All trainers flatten ND features to (N, D), save to
+``<output_dir>/<name>.joblib`` (sklearn) or ``<name>.npz`` (JAX), and emit
+the same artifacts (classification_report.txt, confusion_matrix.png,
+model_info.json).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..train.evaluate import (
+    compute_metrics,
+    log_run_to_mlflow,
+    save_classification_report,
+    save_confusion_matrix_png,
+    save_model_info,
+)
+from .base import BaseTrainer, TrainResult
+from .registry import register_model
+
+logger = logging.getLogger(__name__)
+
+
+def _finish_fit(trainer, y_val, y_pred_val, val_metrics, label_names, run_name, output_dir, mlflow_run, params, model_filename, skip_reports=False):
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    model_path = output_dir / model_filename
+    trainer.save(model_path)
+    model_size_kb = model_path.stat().st_size / 1024
+    if not skip_reports:
+        save_classification_report(y_val, y_pred_val, label_names, output_dir / "classification_report.txt")
+        save_confusion_matrix_png(val_metrics.get("confusion_matrix", []), label_names, output_dir / "confusion_matrix.png")
+    save_model_info(output_dir, trainer.name, run_name, val_metrics, params, model_size_kb)
+    val_metrics["model_size_kb"] = model_size_kb
+    log_run_to_mlflow(mlflow_run, params, val_metrics, output_dir)
+    if mlflow_run is not None:
+        mlflow_run.log_artifact(model_path)
+    return TrainResult(
+        model_name=trainer.name,
+        run_id=mlflow_run.info.run_id if mlflow_run else "",
+        output_dir=output_dir,
+        metrics=val_metrics,
+        model_size_kb=model_size_kb,
+        params=params,
+    )
+
+
+class SklearnTrainer(BaseTrainer):
+    """Generic fit -> metrics -> joblib -> artifacts wrapper around an
+    sklearn estimator or Pipeline."""
+
+    model_type = "classical"
+
+    def __init__(self, estimator):
+        self._estimator = estimator
+        self._fitted = False
+
+    def fit(self, X_train, y_train, X_val, y_val, label_names, run_name, output_dir, mlflow_run) -> TrainResult:
+        X_train = self.flatten(np.asarray(X_train))
+        X_val = self.flatten(np.asarray(X_val))
+        logger.info("Training %s on %d samples ...", self.name, len(X_train))
+        self._estimator.fit(X_train, y_train)
+        y_pred_val = self._estimator.predict(X_val)
+        val_metrics = compute_metrics(y_val, y_pred_val, label_names=label_names)
+        self._fitted = True
+        params = {"model": self.name}
+        if hasattr(self._estimator, "get_params"):
+            params.update({k: str(v) for k, v in self._estimator.get_params().items()})
+        return _finish_fit(self, y_val, y_pred_val, val_metrics, label_names, run_name, output_dir, mlflow_run, params, f"{self.name}.joblib")
+
+    def predict(self, X):
+        return self._estimator.predict(self.flatten(np.asarray(X)))
+
+    def predict_proba(self, X):
+        if hasattr(self._estimator, "predict_proba"):
+            try:
+                return self._estimator.predict_proba(self.flatten(np.asarray(X)))
+            except Exception:
+                pass
+        return None
+
+    def save(self, path: Path) -> None:
+        import joblib
+
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        joblib.dump(self._estimator, path)
+
+    @classmethod
+    def load(cls, path: Path) -> "SklearnTrainer":
+        import joblib
+
+        inst = cls.__new__(cls)
+        inst._estimator = joblib.load(path)
+        inst._fitted = True
+        return inst
+
+
+@register_model
+class SVMTrainer(SklearnTrainer):
+    """SVC(RBF) with probability calibration and balanced class weights."""
+
+    name = "svm"
+
+    def __init__(self, C: float = 1.0, kernel: str = "rbf", gamma="scale", **_):
+        from sklearn.svm import SVC
+
+        super().__init__(SVC(C=C, kernel=kernel, gamma=gamma, probability=True, class_weight="balanced"))
+
+
+@register_model
+class LDATrainer(SklearnTrainer):
+    name = "lda"
+
+    def __init__(self, n_components: Optional[int] = None, solver: str = "svd", **_):
+        from sklearn.discriminant_analysis import LinearDiscriminantAnalysis
+
+        super().__init__(LinearDiscriminantAnalysis(n_components=n_components, solver=solver))
+
+
+@register_model
+class DecisionTreeTrainer(SklearnTrainer):
+    name = "decision_tree"
+
+    def __init__(self, max_depth: Optional[int] = None, min_samples_leaf: int = 1, **_):
+        from sklearn.tree import DecisionTreeClassifier
+
+        super().__init__(DecisionTreeClassifier(max_depth=max_depth, min_samples_leaf=min_samples_leaf, random_state=42))
+
+
+@register_model
+class RandomForestTrainer(SklearnTrainer):
+    name = "random_forest"
+
+    def __init__(self, n_estimators: int = 100, max_depth: Optional[int] = None, **_):
+        from sklearn.ensemble import RandomForestClassifier
+
+        super().__init__(RandomForestClassifier(n_estimators=n_estimators, max_depth=max_depth, n_jobs=-1, random_state=42))
+
+
+@register_model
+class PCASVMTrainer(SklearnTrainer):
+    name = "pca_svm"
+
+    def __init__(self, n_components: int = 50, C: float = 1.0, kernel: str = "rbf", **_):
+        from sklearn.decomposition import PCA
+        from sklearn.pipeline import Pipeline
+        from sklearn.preprocessing import StandardScaler
+        from sklearn.svm import SVC
+
+        super().__init__(
+            Pipeline(
+                [
+                    ("scaler", StandardScaler()),
+                    ("pca", PCA(n_components=n_components, random_state=42)),
+                    ("svm", SVC(C=C, kernel=kernel, probability=True, class_weight="balanced")),
+                ]
+            )
+        )
+
+
+@register_model
+class PCALDATrainer(SklearnTrainer):
+    name = "pca_lda"
+
+    def __init__(self, n_components: int = 50, solver: str = "svd", **_):
+        from sklearn.decomposition import PCA
+        from sklearn.discriminant_analysis import LinearDiscriminantAnalysis
+        from sklearn.pipeline import Pipeline
+        from sklearn.preprocessing import StandardScaler
+
+        super().__init__(
+            Pipeline(
+                [
+                    ("scaler", StandardScaler()),
+                    ("pca", PCA(n_components=n_components, random_state=42)),
+                    ("lda", LinearDiscriminantAnalysis(solver=solver)),
+                ]
+            )
+        )
+
+
+@register_model
+class PCAKNNTrainer(SklearnTrainer):
+    name = "pca_knn"
+
+    def __init__(self, n_components: int = 50, n_neighbors: int = 5, **_):
+        from sklearn.decomposition import PCA
+        from sklearn.neighbors import KNeighborsClassifier
+        from sklearn.pipeline import Pipeline
+        from sklearn.preprocessing import StandardScaler
+
+        super().__init__(
+            Pipeline(
+                [
+                    ("scaler", StandardScaler()),
+                    ("pca", PCA(n_components=n_components, random_state=42)),
+                    ("knn", KNeighborsClassifier(n_neighbors=n_neighbors)),
+                ]
+            )
+        )
+
+
+# ---------------------------------------------------------------------------
+# JAX-native trainers
+# ---------------------------------------------------------------------------
+
+
+@register_model
+class KNNTrainer(BaseTrainer):
+    """k-nearest-neighbours on the accelerator: squared-L2 distances as one
+    |x|^2 - 2 x.y^T + |y|^2 matmul, top-k vote. predict_proba = neighbor
+    class fractions."""
+
+    name = "knn"
+    model_type = "classical"
+
+    def __init__(self, n_neighbors: int = 5, **_):
+        self.n_neighbors = n_neighbors
+        self._X = None
+        self._y = None
+        self._n_classes = None
+
+    def _predict_counts(self, X: np.ndarray) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+
+        Xr = jnp.asarray(self._X)
+        yr = jnp.asarray(self._y)
+        k = min(self.n_neighbors, len(self._X))
+        n_classes = self._n_classes
+
+        @jax.jit
+        def counts(q):
+            d = (
+                jnp.sum(q * q, axis=1, keepdims=True)
+                - 2.0 * q @ Xr.T
+                + jnp.sum(Xr * Xr, axis=1)[None, :]
+            )
+            _, idx = jax.lax.top_k(-d, k)
+            neigh = yr[idx]  # (B, k)
+            onehot = jax.nn.one_hot(neigh, n_classes, dtype=jnp.float32)
+            return jnp.sum(onehot, axis=1)
+
+        return np.asarray(counts(jnp.asarray(self.flatten(np.asarray(X)).astype(np.float32))))
+
+    def fit(self, X_train, y_train, X_val, y_val, label_names, run_name, output_dir, mlflow_run) -> TrainResult:
+        self._X = self.flatten(np.asarray(X_train)).astype(np.float32)
+        self._y = np.asarray(y_train).astype(np.int32)
+        self._n_classes = len(label_names)
+        y_pred_val = self.predict(X_val)
+        val_metrics = compute_metrics(y_val, y_pred_val, label_names=label_names)
+        params = {"model": self.name, "n_neighbors": str(self.n_neighbors), "backend": "jax"}
+        return _finish_fit(self, y_val, y_pred_val, val_metrics, label_names, run_name, output_dir, mlflow_run, params, f"{self.name}.npz")
+
+    def predict(self, X):
+        return self._predict_counts(X).argmax(-1).astype(np.int32)
+
+    def predict_proba(self, X):
+        c = self._predict_counts(X)
+        return c / c.sum(axis=1, keepdims=True)
+
+    def save(self, path: Path) -> None:
+        np.savez(path, X=self._X, y=self._y, n_neighbors=self.n_neighbors, n_classes=self._n_classes)
+
+    @classmethod
+    def load(cls, path: Path) -> "KNNTrainer":
+        d = np.load(path)
+        inst = cls(n_neighbors=int(d["n_neighbors"]))
+        inst._X, inst._y, inst._n_classes = d["X"], d["y"], int(d["n_classes"])
+        return inst
+
+
+@register_model
+class KMeansTrainer(BaseTrainer):
+    """K-Means via jit-compiled Lloyd's iterations on the accelerator.
+    Unsupervised: labels ignored in fit; n_clusters defaults lazily to
+    len(label_names) (reference classical.py:369-378); predict returns
+    cluster indices and metrics carry the same 'note' marker."""
+
+    name = "kmeans"
+    model_type = "classical"
+
+    def __init__(self, n_clusters: Optional[int] = None, n_init: int = 10, max_iter: int = 100, seed: int = 42, **_):
+        self._n_clusters_override = n_clusters
+        self.n_init = n_init
+        self.max_iter = max_iter
+        self.seed = seed
+        self._centers = None
+
+    def _lloyd(self, X: np.ndarray, k: int):
+        import jax
+        import jax.numpy as jnp
+
+        Xd = jnp.asarray(X)
+
+        @jax.jit
+        def run(init_centers):
+            def step(carry, _):
+                centers = carry
+                d = (
+                    jnp.sum(Xd * Xd, axis=1, keepdims=True)
+                    - 2.0 * Xd @ centers.T
+                    + jnp.sum(centers * centers, axis=1)[None, :]
+                )
+                assign = jnp.argmin(d, axis=1)
+                onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
+                sums = onehot.T @ Xd
+                counts = onehot.sum(axis=0)[:, None]
+                new_centers = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), centers)
+                return new_centers, None
+
+            centers, _ = jax.lax.scan(step, init_centers, None, length=self.max_iter)
+            d = (
+                jnp.sum(Xd * Xd, axis=1, keepdims=True)
+                - 2.0 * Xd @ centers.T
+                + jnp.sum(centers * centers, axis=1)[None, :]
+            )
+            inertia = jnp.sum(jnp.min(d, axis=1))
+            return centers, inertia
+
+        rng = np.random.default_rng(self.seed)
+        best = None
+        for _ in range(self.n_init):
+            init = X[rng.choice(len(X), size=k, replace=False)]
+            centers, inertia = run(jnp.asarray(init))
+            inertia = float(inertia)
+            if best is None or inertia < best[1]:
+                best = (np.asarray(centers), inertia)
+        return best
+
+    def fit(self, X_train, y_train, X_val, y_val, label_names, run_name, output_dir, mlflow_run) -> TrainResult:
+        X = self.flatten(np.asarray(X_train)).astype(np.float32)
+        k = self._n_clusters_override or len(label_names)
+        self._centers, inertia = self._lloyd(X, k)
+        y_pred_val = self.predict(X_val)
+        val_metrics: dict = {"note": "KMeans — cluster assignments, no supervised accuracy", "inertia": inertia}
+        params = {"model": self.name, "n_clusters": str(k), "n_init": str(self.n_init), "backend": "jax"}
+        return _finish_fit(
+            self, y_val, y_pred_val, val_metrics, label_names, run_name, output_dir, mlflow_run,
+            params, f"{self.name}.npz", skip_reports=True,
+        )
+
+    def predict(self, X):
+        X = self.flatten(np.asarray(X)).astype(np.float32)
+        d = (X * X).sum(1, keepdims=True) - 2.0 * X @ self._centers.T + (self._centers**2).sum(1)[None, :]
+        return d.argmin(axis=1).astype(np.int32)
+
+    def save(self, path: Path) -> None:
+        np.savez(path, centers=self._centers, n_init=self.n_init)
+
+    @classmethod
+    def load(cls, path: Path) -> "KMeansTrainer":
+        d = np.load(path)
+        inst = cls()
+        inst._centers = d["centers"]
+        return inst

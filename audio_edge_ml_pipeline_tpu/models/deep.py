@@ -1,0 +1,811 @@
+"""Deep trainers: flax/optax train loops under jit (TPU-native replacement
+for the reference's Keras trainers, models/deep.py:58-1217).
+
+Registered names and architecture contracts match the reference:
+
+``mlp``                  Dense stack [256, 128] + dropout, softmax head
+``cnn``                  Conv2D 3x3-same blocks (+MaxPool unless that block
+                         strides via first_stride/second_stride), GAP2D,
+                         Dense(128), softmax  (stride logic: deep.py:407-420)
+``rnn``                  stacked Bi-LSTM(128) -> Dense(64) -> softmax
+``transformer``          n_blocks x (MHA + residual LN + FFN + residual LN)
+                         -> GAP1D -> Dense(64) -> softmax
+``efficientnet_teacher`` EfficientNet-B0 on spectrograms, 2-phase fine-tune
+``distillation_cnn``     tiny CNN student with KD loss (T=4.0, alpha=0.7)
+
+Training semantics carried over: input Normalization adapted on the train
+set (here: explicit mean/var stats over all-but-last axes, applied before
+the module); EarlyStopping(val_loss, patience=10, restore_best);
+ReduceLROnPlateau(0.5, patience=5, min_lr=1e-6) as host-side loop logic
+driving an injected optax hyperparameter; per-epoch metric streaming to the
+tracking store; pretrained warm-start that skips normalization stats.
+
+Persistence: a single ``.npz`` bundle (__meta__ JSON + norm stats + flat
+params) readable by numpy alone — the deployment codegen consumes it
+directly.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+from flax.core import freeze, unfreeze
+
+from ..train.evaluate import (
+    compute_metrics,
+    log_run_to_mlflow,
+    save_classification_report,
+    save_confusion_matrix_png,
+    save_model_info,
+)
+from .base import BaseTrainer, TrainResult
+from .registry import register_model
+
+logger = logging.getLogger(__name__)
+
+_KD_TEMPERATURE = 4.0
+_KD_ALPHA = 0.7
+
+
+# ---------------------------------------------------------------------------
+# Flax modules
+# ---------------------------------------------------------------------------
+
+
+class MLPModule(nn.Module):
+    hidden_units: tuple[int, ...]
+    dropout: float
+    n_classes: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for units in self.hidden_units:
+            x = nn.relu(nn.Dense(units)(x))
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return nn.Dense(self.n_classes)(x)  # logits
+
+
+class CNNModule(nn.Module):
+    filters: tuple[int, ...]
+    dropout: float
+    n_classes: int
+    first_stride: int = 1
+    second_stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i, f in enumerate(self.filters):
+            if i == 0:
+                stride = self.first_stride
+            elif i == 1:
+                stride = self.second_stride
+            else:
+                stride = 1
+            x = nn.relu(nn.Conv(f, (3, 3), strides=(stride, stride), padding="SAME")(x))
+            use_stride = (i == 0 and self.first_stride > 1) or (i == 1 and self.second_stride > 1)
+            if not use_stride:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = jnp.mean(x, axis=(1, 2))  # GAP2D
+        x = nn.relu(nn.Dense(128)(x))
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return nn.Dense(self.n_classes)(x)
+
+
+class BiLSTMModule(nn.Module):
+    units: int
+    n_layers: int
+    dropout: float
+    n_classes: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(self.n_layers):
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+            fwd = nn.RNN(nn.OptimizedLSTMCell(self.units))(x)
+            bwd = nn.RNN(nn.OptimizedLSTMCell(self.units), reverse=True, keep_order=True)(x)
+            if i < self.n_layers - 1:
+                x = jnp.concatenate([fwd, bwd], axis=-1)
+            else:
+                x = jnp.concatenate([fwd[:, -1, :], bwd[:, 0, :]], axis=-1)
+        x = nn.relu(nn.Dense(64)(x))
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return nn.Dense(self.n_classes)(x)
+
+
+class TransformerModule(nn.Module):
+    num_heads: int
+    ff_dim: int
+    n_blocks: int
+    dropout: float
+    n_classes: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = x.shape[-1]
+        key_dim = max(1, d // self.num_heads)
+        for _ in range(self.n_blocks):
+            attn = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads, qkv_features=key_dim * self.num_heads, out_features=d
+            )(x, x)
+            attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+            x = nn.LayerNorm(epsilon=1e-6)(x + attn)
+            ff = nn.relu(nn.Dense(self.ff_dim)(x))
+            ff = nn.Dense(d)(ff)
+            ff = nn.Dropout(self.dropout, deterministic=not train)(ff)
+            x = nn.LayerNorm(epsilon=1e-6)(x + ff)
+        x = jnp.mean(x, axis=1)  # GAP1D
+        x = nn.relu(nn.Dense(64)(x))
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return nn.Dense(self.n_classes)(x)
+
+
+class EfficientNetTeacherModule(nn.Module):
+    """PrepRGBResize (mono->RGB, pad-square, resize) + EfficientNet-B0 +
+    dense head (reference deep.py:592-905)."""
+
+    n_classes: int
+    dropout: float
+    image_size: int = 224
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .backbones import EfficientNetB0
+
+        # x: (B, H, W, 1) spectrogram -> RGB square image
+        x = jnp.repeat(x, 3, axis=-1)
+        B, H, W, C = x.shape
+        side = max(H, W)
+        x = jnp.pad(x, ((0, 0), (0, side - H), (0, side - W), (0, 0)))
+        x = jax.image.resize(x, (B, self.image_size, self.image_size, 3), method="bilinear")
+        emb = EfficientNetB0(name="backbone")(x, train=False)
+        emb = nn.Dropout(self.dropout, deterministic=not train)(emb)
+        return nn.Dense(self.n_classes, name="head")(emb)
+
+
+_MODULE_FACTORY = {
+    "mlp": lambda a: MLPModule(tuple(a["hidden_units"]), a["dropout"], a["n_classes"]),
+    "cnn": lambda a: CNNModule(
+        tuple(a["filters"]), a["dropout"], a["n_classes"], a.get("first_stride", 1), a.get("second_stride", 1)
+    ),
+    "rnn": lambda a: BiLSTMModule(a["units"], a["n_layers"], a["dropout"], a["n_classes"]),
+    "transformer": lambda a: TransformerModule(
+        a["num_heads"], a["ff_dim"], a["n_blocks"], a["dropout"], a["n_classes"]
+    ),
+    "efficientnet_teacher": lambda a: EfficientNetTeacherModule(a["n_classes"], a["dropout"], a.get("image_size", 224)),
+    "distillation_cnn": lambda a: CNNModule(
+        tuple(a["filters"]), a["dropout"], a["n_classes"], a.get("first_stride", 1), a.get("second_stride", 1)
+    ),
+}
+
+
+# ---------------------------------------------------------------------------
+# Persistence helpers (.npz bundle)
+# ---------------------------------------------------------------------------
+
+
+def _flatten_params(params) -> dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        flat[f"p/{key}"] = np.asarray(leaf)
+    return flat
+
+
+def _unflatten_params(template, flat: dict[str, np.ndarray]):
+    leaves_with_path = jax.tree_util.tree_flatten_with_path(template)[0]
+    treedef = jax.tree_util.tree_structure(template)
+    new_leaves = []
+    for path, leaf in leaves_with_path:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        arr = flat.get(f"p/{key}")
+        if arr is None or arr.shape != leaf.shape:
+            raise ValueError(f"missing/mismatched param {key} in bundle")
+        new_leaves.append(jnp.asarray(arr))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def save_model_bundle(path: Path, arch: dict, params, norm_mean, norm_var) -> None:
+    flat = _flatten_params(params)
+    np.savez(
+        path,
+        __meta__=np.frombuffer(json.dumps(arch).encode(), dtype=np.uint8),
+        norm_mean=np.asarray(norm_mean),
+        norm_var=np.asarray(norm_var),
+        **flat,
+    )
+
+
+def load_model_bundle(path: Path):
+    data = np.load(path, allow_pickle=False)
+    arch = json.loads(bytes(data["__meta__"].tobytes()).decode())
+    flat = {k: data[k] for k in data.files if k.startswith("p/")}
+    return arch, flat, data["norm_mean"], data["norm_var"]
+
+
+# ---------------------------------------------------------------------------
+# FlaxTrainer base
+# ---------------------------------------------------------------------------
+
+MODEL_FILENAME = "model.flax.npz"
+
+
+class FlaxTrainer(BaseTrainer):
+    """Shared flax/optax training loop under jit.
+
+    Subclasses set ``name``, implement ``_arch(input_shape, n_classes)``
+    returning the architecture dict consumed by _MODULE_FACTORY, and may
+    override ``_prepare_input``.
+    """
+
+    model_type = "deep"
+
+    def __init__(self, epochs: int = 50, batch_size: int = 32, dropout: float = 0.3,
+                 learning_rate: float = 1e-3, seed: int = 0, **kwargs):
+        self.epochs = epochs
+        self.batch_size = batch_size
+        self.dropout = dropout
+        self.learning_rate = learning_rate
+        self.seed = seed
+        self._extra = dict(kwargs)
+        self._arch_dict: Optional[dict] = None
+        self._params = None
+        self._norm_mean = None
+        self._norm_var = None
+
+    # -- subclass hooks ---------------------------------------------------
+    def _arch(self, input_shape: tuple, n_classes: int) -> dict:
+        raise NotImplementedError
+
+    def _architecture_params(self) -> dict:
+        return {}
+
+    def _prepare_input(self, X: np.ndarray) -> np.ndarray:
+        return X
+
+    # -- internals ----------------------------------------------------------
+    def _module(self) -> nn.Module:
+        return _MODULE_FACTORY[self._arch_dict["type"]](self._arch_dict)
+
+    def _normalize(self, x):
+        return (x - self._norm_mean) / jnp.sqrt(self._norm_var + 1e-6)
+
+    def _adapt_normalization(self, X: np.ndarray) -> None:
+        """Keras Normalization(axis=-1) semantics: per-last-axis-position
+        mean/variance over every other axis (reference deep.py:131-134)."""
+        axes = tuple(range(X.ndim - 1))
+        self._norm_mean = jnp.asarray(X.mean(axis=axes), dtype=jnp.float32)
+        self._norm_var = jnp.asarray(X.var(axis=axes), dtype=jnp.float32)
+
+    def _loss_weights(self) -> Optional[np.ndarray]:
+        return None
+
+    def _make_train_step(self, module, optimizer):
+        def loss_fn(params, x, y, w, rng):
+            logits = module.apply({"params": params}, self._normalize(x), train=True, rngs={"dropout": rng})
+            losses = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            loss = jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
+            acc = jnp.sum((jnp.argmax(logits, -1) == y) * w) / jnp.maximum(jnp.sum(w), 1.0)
+            return loss, acc
+
+        @jax.jit
+        def train_step(params, opt_state, x, y, w, rng):
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, x, y, w, rng)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, acc
+
+        return train_step
+
+    def _make_eval_step(self, module):
+        @jax.jit
+        def eval_step(params, x):
+            logits = module.apply({"params": params}, self._normalize(x), train=False)
+            return logits
+
+        return eval_step
+
+    def _batched_logits(self, X: np.ndarray) -> np.ndarray:
+        module = self._module()
+        eval_step = self._make_eval_step(module)
+        outs = []
+        bs = self.batch_size
+        n = len(X)
+        for s in range(0, n, bs):
+            xb = X[s : s + bs]
+            pad = bs - len(xb)
+            if pad:
+                xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:], xb.dtype)])
+            outs.append(np.asarray(eval_step(self._params, jnp.asarray(xb)))[: len(X[s : s + bs])])
+        return np.concatenate(outs)
+
+    # -- BaseTrainer ---------------------------------------------------------
+    def fit(
+        self,
+        X_train: np.ndarray,
+        y_train: np.ndarray,
+        X_val: np.ndarray,
+        y_val: np.ndarray,
+        label_names: list[str],
+        run_name: str,
+        output_dir: Path,
+        mlflow_run,
+        epoch_callback=None,
+    ) -> TrainResult:
+        X_train = self._prepare_input(np.asarray(X_train)).astype(np.float32)
+        X_val = self._prepare_input(np.asarray(X_val)).astype(np.float32)
+        y_train = np.asarray(y_train).astype(np.int32)
+        y_val = np.asarray(y_val).astype(np.int32)
+        n_classes = len(label_names)
+        self._arch_dict = self._arch(X_train.shape[1:], n_classes)
+        self._adapt_normalization(X_train)
+
+        module = self._module()
+        rng = jax.random.PRNGKey(self.seed)
+        rng, init_rng = jax.random.split(rng)
+        params = module.init(
+            {"params": init_rng, "dropout": init_rng}, jnp.zeros((1,) + X_train.shape[1:], jnp.float32), train=False
+        )["params"]
+
+        # pretrained warm-start: copy matching path+shape leaves, skip norm
+        pretrained_path = self._extra.pop("pretrained_model", None)
+        if pretrained_path:
+            try:
+                _, flat, _, _ = load_model_bundle(Path(pretrained_path))
+                template_flat = _flatten_params(params)
+                transferred = 0
+                for k in template_flat:
+                    if k in flat and flat[k].shape == template_flat[k].shape:
+                        template_flat[k] = flat[k]
+                        transferred += 1
+                params = _unflatten_params(params, template_flat)
+                logger.info("Pretrained weights: %d tensors transferred from %s", transferred, pretrained_path)
+            except Exception as exc:
+                logger.warning("Pretrained weight transfer failed (%s); training from scratch", exc)
+
+        optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=self.learning_rate)
+        opt_state = optimizer.init(params)
+        train_step = self._make_train_step(module, optimizer)
+
+        n = len(X_train)
+        bs = min(self.batch_size, max(n, 1))
+        steps = max(1, -(-n // bs))
+        best_val_loss = float("inf")
+        best_params = params
+        patience_es, patience_lr = 10, 5
+        es_wait = lr_wait = 0
+        current_lr = self.learning_rate
+        prev_lr = current_lr
+        eval_step = self._make_eval_step(module)
+        np_rng = np.random.default_rng(self.seed)
+        stopped_epoch = self.epochs
+
+        for epoch in range(self.epochs):
+            perm = np_rng.permutation(n)
+            ep_loss = ep_acc = 0.0
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(current_lr, jnp.float32)
+            for s in range(steps):
+                idx = perm[s * bs : (s + 1) * bs]
+                xb = X_train[idx]
+                yb = y_train[idx]
+                w = np.ones(len(idx), np.float32)
+                pad = bs - len(idx)
+                if pad:
+                    xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:], xb.dtype)])
+                    yb = np.concatenate([yb, np.zeros(pad, yb.dtype)])
+                    w = np.concatenate([w, np.zeros(pad, np.float32)])
+                rng, step_rng = jax.random.split(rng)
+                params, opt_state, loss, acc = train_step(
+                    params, opt_state, jnp.asarray(xb), jnp.asarray(yb), jnp.asarray(w), step_rng
+                )
+                ep_loss += float(loss)
+                ep_acc += float(acc)
+            ep_loss /= steps
+            ep_acc /= steps
+
+            # validation
+            self._params = params
+            val_logits = self._batched_logits(X_val)
+            val_loss = float(
+                np.mean(
+                    -np.take_along_axis(
+                        jax.nn.log_softmax(val_logits, axis=-1), y_val[:, None], axis=1
+                    )
+                )
+            )
+            val_acc = float((val_logits.argmax(-1) == y_val).mean())
+
+            logs = {"loss": ep_loss, "accuracy": ep_acc, "val_loss": val_loss, "val_accuracy": val_acc}
+            if mlflow_run is not None:
+                for k, v in logs.items():
+                    mlflow_run.log_metric(k, v, step=epoch)
+            lr_tag = ""
+            if current_lr < prev_lr - 1e-12:
+                lr_tag = f"  lr={current_lr:.2e}v"
+            prev_lr = current_lr
+            logger.info(
+                "[%s] Epoch %3d/%d  loss=%.4f  acc=%.4f  val_loss=%.4f  val_acc=%.4f%s",
+                self.name, epoch + 1, self.epochs, ep_loss, ep_acc, val_loss, val_acc, lr_tag,
+            )
+
+            # EarlyStopping(restore_best) + ReduceLROnPlateau, host-side
+            if val_loss < best_val_loss - 1e-12:
+                best_val_loss = val_loss
+                best_params = params
+                es_wait = lr_wait = 0
+            else:
+                es_wait += 1
+                lr_wait += 1
+                if lr_wait >= patience_lr and current_lr > 1e-6:
+                    current_lr = max(current_lr * 0.5, 1e-6)
+                    lr_wait = 0
+                if es_wait >= patience_es:
+                    stopped_epoch = epoch + 1
+                    logger.info("[%s] Early stopped at epoch %d/%d", self.name, epoch + 1, self.epochs)
+                    break
+            if epoch_callback is not None and epoch_callback(epoch, logs):
+                stopped_epoch = epoch + 1
+                logger.info("[%s] Pruned at epoch %d/%d", self.name, epoch + 1, self.epochs)
+                break
+
+        self._params = best_params
+
+        y_pred_val = self._batched_logits(X_val).argmax(-1)
+        val_metrics = compute_metrics(y_val, y_pred_val, label_names=label_names)
+
+        output_dir = Path(output_dir)
+        output_dir.mkdir(parents=True, exist_ok=True)
+        model_path = output_dir / MODEL_FILENAME
+        self.save(model_path)
+        model_size_kb = model_path.stat().st_size / 1024
+
+        params_d = {
+            "model": self.name,
+            "epochs": self.epochs,
+            "batch_size": self.batch_size,
+            "dropout": self.dropout,
+            "learning_rate": self.learning_rate,
+        }
+        params_d.update({k: str(v) for k, v in self._architecture_params().items()})
+        params_d.update({k: str(v) for k, v in self._extra.items()})
+
+        save_classification_report(y_val, y_pred_val, label_names, output_dir / "classification_report.txt")
+        save_confusion_matrix_png(val_metrics.get("confusion_matrix", []), label_names, output_dir / "confusion_matrix.png")
+        save_model_info(output_dir, self.name, run_name, val_metrics, params_d, model_size_kb)
+        val_metrics["model_size_kb"] = model_size_kb
+        log_run_to_mlflow(mlflow_run, params_d, val_metrics, output_dir)
+        if mlflow_run is not None:
+            mlflow_run.log_artifact(model_path)
+
+        return TrainResult(
+            model_name=self.name,
+            run_id=mlflow_run.info.run_id if mlflow_run else "",
+            output_dir=output_dir,
+            metrics=val_metrics,
+            model_size_kb=model_size_kb,
+            params=params_d,
+        )
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        X = self._prepare_input(np.asarray(X)).astype(np.float32)
+        return self._batched_logits(X).argmax(-1)
+
+    def predict_proba(self, X: np.ndarray) -> Optional[np.ndarray]:
+        X = self._prepare_input(np.asarray(X)).astype(np.float32)
+        return np.asarray(jax.nn.softmax(self._batched_logits(X), axis=-1))
+
+    def save(self, path: Path) -> None:
+        save_model_bundle(Path(path), self._arch_dict, self._params, self._norm_mean, self._norm_var)
+
+    @classmethod
+    def load(cls, path: Path) -> "FlaxTrainer":
+        arch, flat, norm_mean, norm_var = load_model_bundle(Path(path))
+        inst = cls.__new__(cls)
+        FlaxTrainer.__init__(inst)
+        inst._arch_dict = arch
+        inst._norm_mean = jnp.asarray(norm_mean)
+        inst._norm_var = jnp.asarray(norm_var)
+        module = _MODULE_FACTORY[arch["type"]](arch)
+        template = module.init(
+            jax.random.PRNGKey(0), jnp.zeros((1,) + tuple(arch["input_shape"]), jnp.float32), train=False
+        )["params"]
+        inst._params = _unflatten_params(template, flat)
+        return inst
+
+
+def load_any_model(path: Path) -> BaseTrainer:
+    """Load a saved deep model bundle and return the right trainer class."""
+    from .registry import get_model
+
+    arch, _, _, _ = load_model_bundle(Path(path))
+    cls = get_model(arch["type"])
+    return cls.load(path)
+
+
+# ---------------------------------------------------------------------------
+# Registered trainers
+# ---------------------------------------------------------------------------
+
+
+@register_model
+class MLPTrainer(FlaxTrainer):
+    name = "mlp"
+
+    def __init__(self, hidden_units: Optional[list[int]] = None, **kwargs):
+        super().__init__(**kwargs)
+        self.hidden_units = hidden_units or [256, 128]
+
+    def _architecture_params(self) -> dict:
+        return {"hidden_units": self.hidden_units}
+
+    def _arch(self, input_shape, n_classes):
+        return {
+            "type": "mlp", "hidden_units": list(self.hidden_units), "dropout": self.dropout,
+            "n_classes": n_classes, "input_shape": list(input_shape),
+        }
+
+
+@register_model
+class CNNTrainer(FlaxTrainer):
+    name = "cnn"
+
+    def __init__(self, filters=None, n_blocks: Optional[int] = None,
+                 first_stride: int = 1, second_stride: int = 1, **kwargs):
+        super().__init__(**kwargs)
+        if filters is None:
+            filters = [32, 64]
+        if isinstance(filters, int):
+            filters = [filters] * (n_blocks or 2)
+        self.filters = list(filters)
+        self.first_stride = first_stride
+        self.second_stride = second_stride
+
+    def _architecture_params(self) -> dict:
+        return {"filters": self.filters, "first_stride": self.first_stride, "second_stride": self.second_stride}
+
+    def _prepare_input(self, X: np.ndarray) -> np.ndarray:
+        if X.ndim == 2:
+            return X[:, :, np.newaxis]
+        if X.ndim == 3:
+            return X[:, :, :, np.newaxis]
+        return X
+
+    def _arch(self, input_shape, n_classes):
+        return {
+            "type": "cnn", "filters": list(self.filters), "dropout": self.dropout,
+            "n_classes": n_classes, "first_stride": self.first_stride,
+            "second_stride": self.second_stride, "input_shape": list(input_shape),
+        }
+
+
+@register_model
+class RNNTrainer(FlaxTrainer):
+    name = "rnn"
+
+    def __init__(self, units: int = 128, n_layers: int = 1, **kwargs):
+        super().__init__(**kwargs)
+        self.units = units
+        self.n_layers = n_layers
+
+    def _architecture_params(self) -> dict:
+        return {"units": self.units, "n_layers": self.n_layers}
+
+    def _prepare_input(self, X: np.ndarray) -> np.ndarray:
+        if X.ndim == 2:
+            return X[:, :, np.newaxis]
+        return X
+
+    def _arch(self, input_shape, n_classes):
+        return {
+            "type": "rnn", "units": self.units, "n_layers": self.n_layers,
+            "dropout": self.dropout, "n_classes": n_classes, "input_shape": list(input_shape),
+        }
+
+
+@register_model
+class TransformerTrainer(FlaxTrainer):
+    name = "transformer"
+
+    def __init__(self, num_heads: int = 4, ff_dim: int = 128, n_blocks: int = 2, **kwargs):
+        super().__init__(**kwargs)
+        self.num_heads = num_heads
+        self.ff_dim = ff_dim
+        self.n_blocks = n_blocks
+
+    def _architecture_params(self) -> dict:
+        return {"num_heads": self.num_heads, "ff_dim": self.ff_dim, "n_blocks": self.n_blocks}
+
+    def _prepare_input(self, X: np.ndarray) -> np.ndarray:
+        if X.ndim == 2:
+            return X[:, :, np.newaxis]
+        return X
+
+    def _arch(self, input_shape, n_classes):
+        return {
+            "type": "transformer", "num_heads": self.num_heads, "ff_dim": self.ff_dim,
+            "n_blocks": self.n_blocks, "dropout": self.dropout,
+            "n_classes": n_classes, "input_shape": list(input_shape),
+        }
+
+
+@register_model
+class EfficientNetTeacherTrainer(FlaxTrainer):
+    """EfficientNet-B0 teacher on spectrograms. Two-phase schedule
+    (reference deep.py:801-856): phase 1 trains the head with the backbone
+    frozen (zero-masked gradients); phase 2 unfreezes everything at lr*0.1.
+    ImageNet weights are unavailable offline (see models/backbones.py)."""
+
+    name = "efficientnet_teacher"
+
+    def __init__(self, warmup_epochs: int = 5, image_size: int = 224, **kwargs):
+        super().__init__(**kwargs)
+        self.warmup_epochs = warmup_epochs
+        self.image_size = image_size
+
+    def _architecture_params(self) -> dict:
+        return {"warmup_epochs": self.warmup_epochs, "image_size": self.image_size}
+
+    def _prepare_input(self, X: np.ndarray) -> np.ndarray:
+        if X.ndim == 3:
+            return X[:, :, :, np.newaxis]
+        return X
+
+    def _arch(self, input_shape, n_classes):
+        return {
+            "type": "efficientnet_teacher", "dropout": self.dropout, "n_classes": n_classes,
+            "image_size": self.image_size, "input_shape": list(input_shape),
+        }
+
+    def fit(self, X_train, y_train, X_val, y_val, label_names, run_name, output_dir, mlflow_run, epoch_callback=None):
+        # Phase 1: head-only at full lr for warmup_epochs; Phase 2: all at lr*0.1.
+        total = self.epochs
+        base_lr = self.learning_rate
+        self.epochs = min(self.warmup_epochs, total)
+        self._head_only = True
+        result = super().fit(X_train, y_train, X_val, y_val, label_names, run_name, output_dir, mlflow_run, epoch_callback)
+        if total > self.warmup_epochs:
+            self._head_only = False
+            self.epochs = total - self.warmup_epochs
+            self.learning_rate = base_lr * 0.1
+            self._extra["pretrained_model"] = str(Path(output_dir) / MODEL_FILENAME)
+            result = super().fit(X_train, y_train, X_val, y_val, label_names, run_name, output_dir, mlflow_run, epoch_callback)
+        self.epochs = total
+        self.learning_rate = base_lr
+        return result
+
+    def _make_train_step(self, module, optimizer):
+        head_only = getattr(self, "_head_only", False)
+
+        def loss_fn(params, x, y, w, rng):
+            logits = module.apply({"params": params}, self._normalize(x), train=True, rngs={"dropout": rng})
+            losses = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            loss = jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
+            acc = jnp.sum((jnp.argmax(logits, -1) == y) * w) / jnp.maximum(jnp.sum(w), 1.0)
+            return loss, acc
+
+        @jax.jit
+        def train_step(params, opt_state, x, y, w, rng):
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, x, y, w, rng)
+            if head_only:
+                grads = unfreeze(grads) if hasattr(grads, "unfreeze") else dict(grads)
+                grads = jax.tree_util.tree_map_with_path(
+                    lambda path, g: g if any("head" in str(getattr(p, "key", "")) for p in path) else jnp.zeros_like(g),
+                    grads,
+                )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, acc
+
+        return train_step
+
+
+@register_model
+class DistillationCNNTrainer(FlaxTrainer):
+    """Tiny CNN student distilled from a teacher's precomputed soft targets
+    (reference deep.py:912-1217): loss = alpha*T^2*KL(teacher_T || student_T)
+    + (1-alpha)*CE, T=4.0, alpha=0.7. Teacher probabilities are converted to
+    pseudo-logits log(p + eps) (deep.py:1196-1209)."""
+
+    name = "distillation_cnn"
+
+    def __init__(self, filters=None, teacher_model: Optional[str] = None,
+                 temperature: float = _KD_TEMPERATURE, alpha: float = _KD_ALPHA, **kwargs):
+        super().__init__(**kwargs)
+        self.filters = list(filters) if filters else [16, 16, 16]
+        self.teacher_model = teacher_model
+        self.temperature = temperature
+        self.alpha = alpha
+        self._teacher_logits: Optional[np.ndarray] = None
+
+    def _architecture_params(self) -> dict:
+        return {"filters": self.filters, "temperature": self.temperature, "alpha": self.alpha,
+                "teacher_model": self.teacher_model}
+
+    def _prepare_input(self, X: np.ndarray) -> np.ndarray:
+        if X.ndim == 3:
+            return X[:, :, :, np.newaxis]
+        return X
+
+    def _arch(self, input_shape, n_classes):
+        return {
+            "type": "distillation_cnn", "filters": list(self.filters), "dropout": self.dropout,
+            "n_classes": n_classes, "input_shape": list(input_shape),
+        }
+
+    def fit(self, X_train, y_train, X_val, y_val, label_names, run_name, output_dir, mlflow_run, epoch_callback=None):
+        if self.teacher_model:
+            teacher = load_any_model(Path(self.teacher_model))
+            probs = teacher.predict_proba(X_train)
+            self._teacher_logits = np.log(probs + 1e-8).astype(np.float32)
+        else:
+            logger.warning("distillation_cnn without teacher_model: training with plain CE")
+            self._teacher_logits = None
+        return super().fit(X_train, y_train, X_val, y_val, label_names, run_name, output_dir, mlflow_run, epoch_callback)
+
+    def _make_train_step(self, module, optimizer):
+        if self._teacher_logits is None:
+            return super()._make_train_step(module, optimizer)
+        T, alpha = self.temperature, self.alpha
+
+        def loss_fn(params, x, y, tlogits, w, rng):
+            logits = module.apply({"params": params}, self._normalize(x), train=True, rngs={"dropout": rng})
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            t_soft = jax.nn.softmax(tlogits / T, axis=-1)
+            s_logsoft = jax.nn.log_softmax(logits / T, axis=-1)
+            kl = jnp.sum(t_soft * (jnp.log(t_soft + 1e-12) - s_logsoft), axis=-1)
+            losses = alpha * (T**2) * kl + (1 - alpha) * ce
+            loss = jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
+            acc = jnp.sum((jnp.argmax(logits, -1) == y) * w) / jnp.maximum(jnp.sum(w), 1.0)
+            return loss, acc
+
+        @jax.jit
+        def train_step(params, opt_state, x, y, tlogits, w, rng):
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, x, y, tlogits, w, rng)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, acc
+
+        # The base fit loop calls train_step(params, opt_state, x, y, w, rng);
+        # the adapter feeds the teacher logits for each mini-batch.
+        return _KDStepAdapter(train_step, self)
+
+
+class _KDStepAdapter:
+    """Adapter matching the base loop's train_step signature while feeding
+    the teacher logits for the current mini-batch. The base loop shuffles
+    with a seeded numpy Generator; we mirror that stream to recover batch
+    indices without changing the base loop."""
+
+    def __init__(self, step, trainer: DistillationCNNTrainer):
+        self._step = step
+        self._trainer = trainer
+        self._rng = np.random.default_rng(trainer.seed)
+        self._n = len(trainer._teacher_logits)
+        self._perm = None
+        self._cursor = 0
+        self._bs = None
+
+    def __call__(self, params, opt_state, x, y, w, rng):
+        bs = x.shape[0]
+        if self._bs is None:
+            self._bs = bs
+        if self._perm is None or self._cursor >= self._n:
+            self._perm = self._rng.permutation(self._n)
+            self._cursor = 0
+        idx = self._perm[self._cursor : self._cursor + bs]
+        self._cursor += bs
+        t = self._trainer._teacher_logits[idx]
+        pad = bs - len(t)
+        if pad:
+            t = np.concatenate([t, np.zeros((pad,) + t.shape[1:], t.dtype)])
+        return self._step(params, opt_state, x, y, jnp.asarray(t), w, rng)
