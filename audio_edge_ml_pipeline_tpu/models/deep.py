@@ -316,8 +316,13 @@ class FlaxTrainer(BaseTrainer):
         return eval_step
 
     def _batched_logits(self, X: np.ndarray) -> np.ndarray:
-        module = self._module()
-        eval_step = self._make_eval_step(module)
+        # jax.jit caches by function identity: build the jitted eval step
+        # once per trainer, not once per call (a fresh closure per epoch
+        # means a full recompile per epoch).
+        eval_step = getattr(self, "_cached_eval_step", None)
+        if eval_step is None:
+            eval_step = self._make_eval_step(self._module())
+            self._cached_eval_step = eval_step
         outs = []
         bs = self.batch_size
         n = len(X)
@@ -349,6 +354,7 @@ class FlaxTrainer(BaseTrainer):
         n_classes = len(label_names)
         self._arch_dict = self._arch(X_train.shape[1:], n_classes)
         self._adapt_normalization(X_train)
+        self._cached_eval_step = None  # arch/norm changed; retrace eval
 
         module = self._module()
         rng = jax.random.PRNGKey(self.seed)
@@ -386,7 +392,6 @@ class FlaxTrainer(BaseTrainer):
         es_wait = lr_wait = 0
         current_lr = self.learning_rate
         prev_lr = current_lr
-        eval_step = self._make_eval_step(module)
         np_rng = np.random.default_rng(self.seed)
         stopped_epoch = self.epochs
 
@@ -547,6 +552,11 @@ class MLPTrainer(FlaxTrainer):
 
     def _architecture_params(self) -> dict:
         return {"hidden_units": self.hidden_units}
+
+    def _prepare_input(self, X: np.ndarray) -> np.ndarray:
+        # Dense stacks need flat vectors; flatten ND features (improvement
+        # over the reference, which errors on (H, W) inputs fed to mlp)
+        return self.flatten(X)
 
     def _arch(self, input_shape, n_classes):
         return {
