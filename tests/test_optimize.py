@@ -1,0 +1,140 @@
+"""Stage 6 quantization emulation + optimize CLI + post-opt selection."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _cpu_env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO)
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def test_fake_quant_int8_roundtrip():
+    from audio_edge_ml_pipeline_tpu.optimize.quantize import fake_quant_int8
+
+    arr = np.linspace(-2, 2, 1000).astype(np.float32)
+    deq, scale, nbytes = fake_quant_int8(arr)
+    assert nbytes == 1004
+    assert np.max(np.abs(deq - arr)) <= scale / 2 + 1e-7
+    z, s0, _ = fake_quant_int8(np.zeros(10, np.float32))
+    assert s0 == 0.0 and (z == 0).all()
+
+
+@pytest.fixture(scope="module")
+def trained_setup(tmp_path_factory):
+    """Train a small CNN + an SVM on synthetic spectrogram-ish data; build a
+    shortlist pointing at them."""
+    from audio_edge_ml_pipeline_tpu.features.base import FeatureSet
+    from audio_edge_ml_pipeline_tpu.features.pipeline import FeaturePipeline
+    from audio_edge_ml_pipeline_tpu.models import get_model
+
+    root = tmp_path_factory.mktemp("opt")
+    r = np.random.default_rng(7)
+
+    def make(n):
+        X, y = [], []
+        for c in range(3):
+            for _ in range(n):
+                img = r.normal(0, 0.3, size=(12, 20))
+                img[c * 4 : c * 4 + 3, :] += 2.0
+                X.append(img)
+                y.append(c)
+        X = np.stack(X).astype(np.float32)
+        y = np.array(y, np.int32)
+        idx = r.permutation(len(X))
+        return X[idx], y[idx]
+
+    Xtr, ytr = make(25)
+    Xev, yev = make(8)
+    names = ["a", "b", "c"]
+    for nm, (X, y) in [("calib", (Xtr, ytr)), ("eval", (Xev, yev))]:
+        FeaturePipeline.save(
+            FeatureSet(features=X, feature_type="deep", modality="audio",
+                       metadata=[{} for _ in X], labels=y, label_names=names),
+            root / nm,
+        )
+    cnn = get_model("cnn")(epochs=12, batch_size=16, filters=[8, 8], learning_rate=5e-3)
+    cnn.fit(Xtr, ytr, Xev, yev, names, "cnn", root / "cnn_run", None)
+    svm = get_model("svm")()
+    svm.fit(Xtr.reshape(len(Xtr), -1), ytr, Xev.reshape(len(Xev), -1), yev, names, "svm", root / "svm_run", None)
+    shortlist = {
+        "experiment": "opt-test",
+        "metric": "val_f1_macro",
+        "n_candidates": 2,
+        "generated_at": "now",
+        "candidates": [
+            {"rank": 1, "run_id": "r1", "run_name": "cnn", "model": "cnn",
+             "val_accuracy": 0.9, "val_f1_macro": 0.9, "model_size_kb": 10,
+             "params": {}, "artifact_uri": str(root / "cnn_run"),
+             "features_dir": str(root / "calib"), "features_eval_dir": str(root / "eval"),
+             "class_filter": None},
+            {"rank": 2, "run_id": "r2", "run_name": "svm", "model": "svm",
+             "val_accuracy": 0.9, "val_f1_macro": 0.9, "model_size_kb": 10,
+             "params": {}, "artifact_uri": str(root / "svm_run"),
+             "features_dir": str(root / "calib"), "features_eval_dir": str(root / "eval"),
+             "class_filter": None},
+        ],
+    }
+    (root / "shortlist.json").write_text(json.dumps(shortlist))
+    return root
+
+
+def test_optimize_cli_and_postopt(trained_setup, tmp_path):
+    root = trained_setup
+    out = tmp_path / "optimized"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "audio_edge_ml_pipeline_tpu.optimize.optimize",
+            "--shortlist", str(root / "shortlist.json"),
+            "--output", str(out), "--max-accuracy-drop", "0.05", "--no-tracking",
+        ],
+        capture_output=True, text=True, cwd=tmp_path, env=_cpu_env(),
+    )
+    assert r.returncode == 0, r.stderr
+    for name in ("cnn", "svm"):
+        report = json.loads((out / name / "optimization_report.json").read_text())
+        # full schema contract (reference optimize.py:229-249)
+        for key in (
+            "run_id", "run_name", "model_name", "original_model_path",
+            "optimized_model_path", "original_size_kb", "optimized_size_kb",
+            "compression_ratio", "quantization_method", "target_device",
+            "val_accuracy_original", "val_accuracy_optimized", "accuracy_drop",
+            "latency_ms", "timestamp", "benchmark_results",
+        ):
+            assert key in report, (name, key)
+        assert report["accuracy_drop"] <= 0.05 + 1e-9
+        assert report["optimized_size_kb"] <= report["original_size_kb"] + 1e-6
+        assert "fp32" in report["benchmark_results"]
+    cnn_report = json.loads((out / "cnn" / "optimization_report.json").read_text())
+    assert "dynamic_int8" in cnn_report["benchmark_results"]
+    assert "static_int8" in cnn_report["benchmark_results"]
+    # int8 artifact shrinks by ~3 bytes/param; container overhead dominates
+    # for this tiny model, so assert strict shrink rather than a 4x ratio
+    bench = cnn_report["benchmark_results"]
+    assert bench["dynamic_int8"]["size_kb"] < 0.8 * bench["fp32"]["size_kb"]
+    assert bench["float16"]["size_kb"] < bench["fp32"]["size_kb"]
+
+    # post-opt selection over the real reports
+    r2 = subprocess.run(
+        [
+            sys.executable, "-m", "audio_edge_ml_pipeline_tpu.train.select",
+            "--post-opt", "--shortlist", str(root / "shortlist.json"),
+            "--opt-dir", str(out), "--output", str(tmp_path / "best_model.json"),
+        ],
+        capture_output=True, text=True, cwd=tmp_path, env=_cpu_env(),
+    )
+    assert r2.returncode == 0, r2.stderr
+    best = json.loads((tmp_path / "best_model.json").read_text())
+    assert best["model"] in ("cnn", "svm")
+    assert best["optimized_model_path"]
+    assert "Best post-optimisation model" in r2.stdout

@@ -1,0 +1,179 @@
+"""Hyperparameter search engine + tune CLI."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from audio_edge_ml_pipeline_tpu.train import search
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_tpe_beats_random_on_quadratic():
+    def run(sampler):
+        study = search.create_study(direction="maximize", sampler=sampler, pruner=search.NopPruner())
+
+        def obj(trial):
+            x = trial.suggest_float("x", -10, 10)
+            y = trial.suggest_float("y", -10, 10)
+            return -((x - 3.0) ** 2) - (y + 2.0) ** 2
+
+        study.optimize(obj, n_trials=60)
+        return study.best_value
+
+    tpe = run(search.TPESampler(seed=0, n_startup_trials=10))
+    rnd = run(search.RandomSampler(seed=0))
+    assert tpe > -1.5, f"TPE best {tpe}"
+    assert tpe >= rnd - 1e-9
+
+
+def test_tpe_categorical_and_int_and_log():
+    study = search.create_study(sampler=search.TPESampler(seed=1, n_startup_trials=8), pruner=search.NopPruner())
+
+    def obj(trial):
+        kind = trial.suggest_categorical("kind", ["a", "b", "c"])
+        n = trial.suggest_int("n", 1, 64)
+        lr = trial.suggest_float("lr", 1e-5, 1e-1, log=True)
+        score = {"a": 0.0, "b": 1.0, "c": 0.2}[kind]
+        score -= abs(n - 32) / 64.0
+        score -= abs(np.log10(lr) + 3.0) / 4.0  # optimum at 1e-3
+        return score
+
+    study.optimize(obj, n_trials=60)
+    best = study.best_trial.params
+    assert best["kind"] == "b"
+    assert 1 <= best["n"] <= 64
+    assert study.best_value > 0.5
+
+
+def test_median_pruner_prunes():
+    study = search.create_study(pruner=search.MedianPruner(n_startup_trials=2, n_warmup_steps=2))
+    pruned = []
+
+    def obj(trial):
+        good = trial.number < 3  # first trials good, later ones bad
+        for step in range(10):
+            val = (0.9 if good else 0.1) + 0.01 * step
+            trial.report(val, step)
+            if trial.should_prune():
+                pruned.append(trial.number)
+                raise search.TrialPruned()
+        return val
+
+    study.optimize(obj, n_trials=8)
+    states = [t.state for t in study.trials]
+    assert states.count(search.TrialState.PRUNED) >= 3
+    assert study.best_value > 0.9
+
+
+def test_successive_halving_pruner():
+    study = search.create_study(pruner=search.SuccessiveHalvingPruner(min_resource=2, eta=2))
+
+    def obj(trial):
+        quality = 1.0 - trial.number * 0.1
+        for step in range(8):
+            trial.report(quality + 0.01 * step, step)
+            if trial.should_prune():
+                raise search.TrialPruned()
+        return quality
+
+    study.optimize(obj, n_trials=10)
+    assert any(t.state == search.TrialState.PRUNED for t in study.trials)
+    assert study.best_trial.number == 0
+
+
+def test_catch_failures():
+    study = search.create_study(pruner=search.NopPruner())
+
+    def obj(trial):
+        if trial.number % 2 == 0:
+            raise RuntimeError("boom")
+        return float(trial.number)
+
+    study.optimize(obj, n_trials=6, catch=(Exception,))
+    assert sum(t.state == search.TrialState.FAIL for t in study.trials) == 3
+    assert study.best_value == 5.0
+
+
+def _cpu_env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO)
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+@pytest.fixture(scope="module")
+def feature_dirs(tmp_path_factory):
+    from audio_edge_ml_pipeline_tpu.features.base import FeatureSet
+    from audio_edge_ml_pipeline_tpu.features.pipeline import FeaturePipeline
+
+    root = tmp_path_factory.mktemp("tunefeats")
+
+    def make(n, seed):
+        rr = np.random.default_rng(seed)
+        X, y = [], []
+        for c in range(3):
+            mu = np.zeros(16)
+            mu[c * 5 : c * 5 + 5] = 2.0
+            X.append(rr.normal(mu, 1.0, size=(n, 16)))
+            y.append(np.full(n, c))
+        X, y = np.concatenate(X).astype(np.float32), np.concatenate(y).astype(np.int32)
+        idx = rr.permutation(len(X))
+        return X[idx], y[idx]
+
+    for name, seed, n in [("train", 1, 25), ("val", 2, 8)]:
+        X, y = make(n, seed)
+        fs = FeatureSet(
+            features=X, feature_type="classical", modality="audio",
+            metadata=[{} for _ in range(len(X))], labels=y, label_names=["a", "b", "c"],
+        )
+        FeaturePipeline.save(fs, root / name)
+    return root
+
+
+def test_tune_cli_classical_and_deep(feature_dirs, tmp_path):
+    out = tmp_path / "tuned"
+    cfg = tmp_path / "tuning.yaml"
+    cfg.write_text(
+        f"""
+output_dir: {out}
+experiment: tune-test
+features_dir: {feature_dirs / 'train'}
+features_test: {feature_dirs / 'val'}
+cv: 3
+n_trials: 3
+sweep_epochs: 8
+pruner: none
+runs:
+  - model: lda
+    grid:
+      solver: [svd, lsqr]
+  - model: mlp
+    params: {{batch_size: 16, learning_rate: 0.005}}
+    search_space:
+      hidden_units: [[8], [16]]
+      dropout: {{type: float, low: 0.0, high: 0.3}}
+"""
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "audio_edge_ml_pipeline_tpu.train.tune", "--config", str(cfg)],
+        capture_output=True, text=True, cwd=tmp_path, env=_cpu_env(),
+    )
+    assert r.returncode == 0, r.stderr
+    sl = json.loads((out / "shortlist.json").read_text())
+    assert sl["n_candidates"] == 2
+    models = {c["model"] for c in sl["candidates"]}
+    assert models == {"lda", "mlp"}
+    # grid best recorded, trial summary written for deep run
+    summary = json.loads((out / "mlp" / "trial_summary.json").read_text())
+    assert summary["n_trials"] == 3 and summary["n_completed"] >= 1
+    assert "hidden_units" in summary["best_params"]
+    assert (out / "lda" / "lda.joblib").exists()
+    # best trial test metrics surfaced
+    best = [c for c in sl["candidates"] if c["model"] == "lda"][0]
+    assert best["val_accuracy"] > 0.6
