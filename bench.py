@@ -1,0 +1,96 @@
+"""Benchmark: fsc22 mel-spectrogram + CNN pipeline throughput (clips/s/chip).
+
+The driver-set target (BASELINE.json north_star) is >= 10,000 fsc22
+clips/sec/chip for mel extraction on TPU v5e with <= 1e-5 parity vs the
+librosa contract. This bench measures the full waveform -> mel (40 mel,
+n_fft 512, hop 160, 16 kHz, 5 s clips) -> device-CNN forward pipeline on
+device-resident batches, and verifies parity against the float64 oracle as
+a gate (a fast wrong kernel scores 0).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_CLIPS_PER_SEC = 10_000.0  # driver target
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from audio_edge_ml_pipeline_tpu.models.deep import CNNModule
+    from audio_edge_ml_pipeline_tpu.ops import dsp, golden
+
+    sr, seconds = 16000, 5.0
+    n = int(sr * seconds)
+    n_mels, n_fft, hop = 40, 512, 160
+
+    # fsc22-shaped synthetic batch (harmonics + noise + transients)
+    rng = np.random.default_rng(42)
+    t = np.arange(n) / sr
+    base = []
+    for i in range(8):
+        y = (
+            0.5 * np.sin(2 * np.pi * (150 + 130 * i) * t)
+            + 0.2 * np.sin(2 * np.pi * (430 + 310 * i) * t)
+            + 0.06 * rng.standard_normal(n)
+        )
+        y[i * 7000 : i * 7000 + 3000] += 0.5 * rng.standard_normal(3000)
+        base.append((0.8 * y / np.abs(y).max()).astype(np.float32))
+    base = np.stack(base)
+
+    # parity gate vs the float64 oracle
+    small = jax.jit(lambda x: dsp.mel_spec_feature(x, sr=sr, n_mels=n_mels, n_fft=n_fft, hop_length=hop))
+    got = np.asarray(small(jnp.asarray(base)))
+    ref = np.stack([golden.mel_spec_feature(base[i], sr=sr, n_mels=n_mels, n_fft=n_fft, hop_length=hop) for i in range(len(base))])
+    parity = float(np.max(np.abs(got - ref)))
+    if parity > 1e-5:
+        print(json.dumps({"metric": "fsc22 mel+CNN clips/sec/chip", "value": 0.0, "unit": "clips/s",
+                          "vs_baseline": 0.0, "error": f"parity {parity:.2e} > 1e-5"}))
+        return
+
+    # flagship pipeline: mel -> CNN(16,64,64 fs=4 ss=2) forward
+    module = CNNModule((16, 64, 64), dropout=0.3, n_classes=27, first_stride=4, second_stride=2)
+    T = 1 + n // hop
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, T, n_mels, 1), jnp.float32), train=False)["params"]
+
+    @jax.jit
+    def pipeline(p, waves):
+        mel = dsp.mel_spec_feature(waves, sr=sr, n_mels=n_mels, n_fft=n_fft, hop_length=hop)
+        x = jnp.transpose(mel, (0, 2, 1))[..., None]
+        return module.apply({"params": p}, x, train=False)
+
+    B = 512
+    waves = jax.device_put(jnp.asarray(np.tile(base, (B // len(base), 1))))
+    pipeline(params, waves).block_until_ready()  # compile
+    # steady-state: several timed iterations, take the best (device-resident)
+    best_dt = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        iters = 10
+        for _ in range(iters):
+            out = pipeline(params, waves)
+        out.block_until_ready()
+        best_dt = min(best_dt, (time.perf_counter() - t0) / iters)
+    clips_per_sec = B / best_dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "fsc22 mel+CNN clips/sec/chip",
+                "value": round(clips_per_sec, 1),
+                "unit": "clips/s",
+                "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
