@@ -1,0 +1,210 @@
+"""Stage 1b — audio augmentation CLI.
+
+Contract of reference augment.py:88-419: seven augmentors (volume_scale,
+gaussian_noise, time_stretch, pitch_shift, time_shift, polarity_inversion,
+pdm_hiss), compound application with independently re-sampled parameters,
+level_match_db fixed gain applied to originals and copies, per-class
+augmentation overrides, manifest-filtered train-only input, preserve_length
+trim/pad, class-per-subfolder WAV output consumed by the audio_folder
+loader.
+
+CLI: python -m audio_edge_ml_pipeline_tpu.features.augment --config augmentation.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+from ..data.audio_io import load_audio, write_wav
+from ..ops.golden import effects
+from ..utils.logging import setup_logging
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# Augmentors: (y, sr, rng, **params) -> np.ndarray
+# ---------------------------------------------------------------------------
+
+
+def volume_scale(y, sr, rng, min_gain: float = 0.7, max_gain: float = 1.3):
+    return (y * rng.uniform(min_gain, max_gain)).astype(y.dtype)
+
+
+def gaussian_noise(y, sr, rng, min_amplitude: float = 0.001, max_amplitude: float = 0.008):
+    amplitude = rng.uniform(min_amplitude, max_amplitude)
+    noise = rng.standard_normal(len(y)).astype(y.dtype) * amplitude
+    return np.clip(y + noise, -1.0, 1.0).astype(y.dtype)
+
+
+def time_stretch(y, sr, rng, min_rate: float = 0.85, max_rate: float = 1.15):
+    rate = rng.uniform(min_rate, max_rate)
+    return effects.time_stretch(np.asarray(y, np.float64), rate).astype(np.float32)
+
+
+def pitch_shift(y, sr, rng, min_steps: float = -3.0, max_steps: float = 3.0):
+    n_steps = rng.uniform(min_steps, max_steps)
+    return effects.pitch_shift(np.asarray(y, np.float64), sr, n_steps).astype(np.float32)
+
+
+def time_shift(y, sr, rng, max_fraction: float = 0.2):
+    shift = int(rng.uniform(-max_fraction, max_fraction) * len(y))
+    return np.roll(y, shift).astype(y.dtype)
+
+
+def polarity_inversion(y, sr, rng):
+    return (-y).astype(y.dtype)
+
+
+def pdm_hiss(y, sr, rng, min_amplitude: float = 0.02, max_amplitude: float = 0.08, notch_freq: float = 4000.0):
+    """Pink-tinted noise floor with a hardware-style notch at notch_freq —
+    simulates the device PDM microphone (reference augment.py:135-168)."""
+    n = len(y)
+    white = rng.standard_normal(n)
+    fft = np.fft.rfft(white)
+    freqs = np.fft.rfftfreq(n, d=1.0 / sr)
+    freqs[0] = 1.0
+    fft /= np.sqrt(freqs)
+    fft[np.abs(np.fft.rfftfreq(n, d=1.0 / sr) - notch_freq) < (sr / n * 2)] = 0.0
+    pink = np.fft.irfft(fft, n=n).astype(np.float32)
+    pink /= np.sqrt(np.mean(pink**2)) + 1e-9
+    amplitude = rng.uniform(min_amplitude, max_amplitude)
+    return np.clip(y + pink * amplitude, -1.0, 1.0).astype(y.dtype)
+
+
+AUGMENTORS = {
+    "volume_scale": volume_scale,
+    "gaussian_noise": gaussian_noise,
+    "time_stretch": time_stretch,
+    "pitch_shift": pitch_shift,
+    "time_shift": time_shift,
+    "polarity_inversion": polarity_inversion,
+    "pdm_hiss": pdm_hiss,
+}
+
+
+def apply_augmentations(y: np.ndarray, sr: int, aug_specs: list[dict], rng: np.random.Generator) -> np.ndarray:
+    out = y.copy()
+    for spec in aug_specs:
+        aug_type = spec["type"]
+        if aug_type not in AUGMENTORS:
+            raise ValueError(f"Unknown augmentation type {aug_type!r}. Valid: {sorted(AUGMENTORS)}")
+        params = {k: v for k, v in spec.items() if k != "type"}
+        out = AUGMENTORS[aug_type](out, sr, rng, **params)
+    return out
+
+
+def preserve_length(y_aug: np.ndarray, original_length: int) -> np.ndarray:
+    if len(y_aug) > original_length:
+        return y_aug[:original_length]
+    if len(y_aug) < original_length:
+        return np.pad(y_aug, (0, original_length - len(y_aug)))
+    return y_aug
+
+
+# ---------------------------------------------------------------------------
+# Config + dataset iteration
+# ---------------------------------------------------------------------------
+
+
+def load_config(path: Path) -> dict:
+    cfg = yaml.safe_load(Path(path).read_text()) or {}
+    if "output_dir" not in cfg:
+        raise ValueError("augmentation.yaml must include 'output_dir'.")
+    cfg.setdefault("n_augments", 4)
+    cfg.setdefault("preserve_length", True)
+    cfg.setdefault("seed", 42)
+    cfg.setdefault("sample_rate", None)
+    cfg.setdefault("augmentations", [])
+    cfg.setdefault("class_overrides", {})
+    cfg.setdefault("loader", "audio_folder")
+    cfg.setdefault("split", "train")
+    cfg.setdefault("level_match_db", 0.0)
+    return cfg
+
+
+def _iter_samples(cfg: dict):
+    loader_name = cfg["loader"]
+    if loader_name == "fsc22":
+        from ..data.loaders import FSC22Loader
+
+        dataset_root = cfg.get("dataset")
+        if not dataset_root:
+            raise ValueError("augmentation.yaml must include 'dataset' when loader=fsc22.")
+        loader = FSC22Loader(dataset_root, split=cfg.get("split", "train"), seed=cfg.get("seed", 42))
+        for path, class_name, _ in loader:
+            yield path, class_name
+    elif loader_name == "audio_folder":
+        root = Path(cfg.get("audio_folder") or cfg.get("dataset") or "")
+        if not str(root):
+            raise ValueError("augmentation.yaml must include 'audio_folder' when loader=audio_folder.")
+        allowed = None
+        if cfg.get("manifest"):
+            manifest = json.loads(Path(cfg["manifest"]).read_text())
+            allowed = set(manifest.get(cfg.get("split", "train"), []))
+            logger.info("manifest filter %r: %d files allowed", cfg.get("split"), len(allowed))
+        exts = {".wav", ".flac", ".mp3", ".ogg", ".aiff"}
+        for class_dir in sorted(p for p in root.iterdir() if p.is_dir()):
+            for f in sorted(class_dir.iterdir()):
+                if f.suffix.lower() not in exts:
+                    continue
+                if allowed is not None and f"{class_dir.name}/{f.name}" not in allowed:
+                    continue
+                yield f, class_dir.name
+    else:
+        raise ValueError(f"Unknown loader {loader_name!r}. Valid: ['audio_folder', 'fsc22']")
+
+
+def run(cfg: dict) -> None:
+    output_dir = Path(cfg["output_dir"])
+    n_augments = int(cfg["n_augments"])
+    preserve = bool(cfg["preserve_length"])
+    target_sr = cfg["sample_rate"]
+    default_augs = cfg["augmentations"]
+    class_overrides = cfg["class_overrides"]
+    level_scale = 10.0 ** (float(cfg["level_match_db"]) / 20.0)
+
+    rng = np.random.default_rng(int(cfg["seed"]))
+    output_dir.mkdir(parents=True, exist_ok=True)
+    samples = list(_iter_samples(cfg))
+    logger.info("Augmenting %d files x %d copies -> %s", len(samples), n_augments, output_dir)
+
+    n_orig = 0
+    for path, class_name in samples:
+        y, sr = load_audio(path, sr=target_sr)
+        y = np.clip(y * level_scale, -1.0, 1.0)
+        class_dir = output_dir / class_name
+        class_dir.mkdir(parents=True, exist_ok=True)
+        write_wav(class_dir / path.name, y, sr)
+        n_orig += 1
+        aug_specs = class_overrides.get(class_name, {}).get("augmentations", default_augs)
+        for i in range(1, n_augments + 1):
+            y_aug = apply_augmentations(y, sr, aug_specs, rng)
+            if preserve:
+                y_aug = preserve_length(y_aug, len(y))
+            write_wav(class_dir / f"{path.stem}_aug{i:03d}{path.suffix}", np.clip(y_aug, -1, 1), sr)
+    logger.info(
+        "Done: %d originals + %d augmented = %d files.",
+        n_orig, n_orig * n_augments, n_orig * (1 + n_augments),
+    )
+
+
+def main(argv=None) -> None:
+    setup_logging()
+    parser = argparse.ArgumentParser(
+        prog="python -m audio_edge_ml_pipeline_tpu.features.augment",
+        description="Stage 1b — audio augmentation",
+    )
+    parser.add_argument("--config", required=True, metavar="YAML")
+    args = parser.parse_args(argv)
+    run(load_config(Path(args.config)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Augmentation stage: phase-vocoder effects + CLI output layout."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_time_stretch_length_and_pitch():
+    from audio_edge_ml_pipeline_tpu.ops.golden import effects
+
+    sr = 16000
+    t = np.arange(2 * sr) / sr
+    y = np.sin(2 * np.pi * 440 * t)
+    fast = effects.time_stretch(y, 1.25)
+    slow = effects.time_stretch(y, 0.8)
+    assert abs(len(fast) - len(y) / 1.25) <= 2
+    assert abs(len(slow) - len(y) / 0.8) <= 2
+    # pitch preserved under stretch: dominant frequency still ~440
+    for z in (fast, slow):
+        seg = z[2000:-2000]
+        spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        peak_hz = spec.argmax() * sr / len(seg)
+        assert abs(peak_hz - 440) < 8, peak_hz
+
+
+def test_pitch_shift_frequency_and_duration():
+    from audio_edge_ml_pipeline_tpu.ops.golden import effects
+
+    sr = 16000
+    t = np.arange(2 * sr) / sr
+    y = np.sin(2 * np.pi * 440 * t)
+    up = effects.pitch_shift(y, sr, n_steps=4)  # +4 semitones = x1.26
+    assert len(up) == len(y)
+    seg = up[2000:-2000]
+    spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    peak_hz = spec.argmax() * sr / len(seg)
+    expected = 440 * 2 ** (4 / 12)
+    assert abs(peak_hz - expected) < 12, (peak_hz, expected)
+
+
+def test_simple_augmentors(rng):
+    from audio_edge_ml_pipeline_tpu.features.augment import AUGMENTORS
+
+    y = (0.5 * np.sin(2 * np.pi * 220 * np.arange(8000) / 16000)).astype(np.float32)
+    r = np.random.default_rng(0)
+    inv = AUGMENTORS["polarity_inversion"](y, 16000, r)
+    np.testing.assert_array_equal(inv, -y)
+    shifted = AUGMENTORS["time_shift"](y, 16000, r)
+    assert len(shifted) == len(y) and not np.array_equal(shifted, y)
+    noisy = AUGMENTORS["gaussian_noise"](y, 16000, r)
+    assert 0 < np.abs(noisy - y).max() < 0.1
+    hiss = AUGMENTORS["pdm_hiss"](y, 16000, r)
+    assert np.abs(hiss - y).std() > 0.005  # audible noise floor added
+    scaled = AUGMENTORS["volume_scale"](y, 16000, r, min_gain=0.5, max_gain=0.5)
+    np.testing.assert_allclose(scaled, 0.5 * y, atol=1e-6)
+
+
+def test_augment_cli(tmp_path):
+    import os
+
+    from audio_edge_ml_pipeline_tpu.data.audio_io import write_wav
+
+    src = tmp_path / "src_audio"
+    for c in ("dog", "rain"):
+        d = src / c
+        d.mkdir(parents=True)
+        for i in range(2):
+            t = np.arange(16000) / 16000
+            write_wav(d / f"{i}.wav", (0.4 * np.sin(2 * np.pi * (300 + 100 * i) * t)).astype(np.float32), 16000)
+    cfg = tmp_path / "aug.yaml"
+    out = tmp_path / "aug_out"
+    cfg.write_text(
+        f"""
+loader: audio_folder
+audio_folder: {src}
+output_dir: {out}
+n_augments: 2
+level_match_db: -6.0
+augmentations:
+  - type: volume_scale
+  - type: gaussian_noise
+  - type: time_shift
+class_overrides:
+  rain:
+    augmentations:
+      - type: polarity_inversion
+"""
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "audio_edge_ml_pipeline_tpu.features.augment", "--config", str(cfg)],
+        capture_output=True, text=True, env=env, cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    # 2 originals + 4 augmented per class
+    assert len(list((out / "dog").glob("*.wav"))) == 6
+    assert len(list((out / "rain").glob("*.wav"))) == 6
+    # level_match applied to originals (-6 dB = x0.501)
+    from audio_edge_ml_pipeline_tpu.data.audio_io import load_audio
+
+    y0, _ = load_audio(src / "dog" / "0.wav")
+    y1, _ = load_audio(out / "dog" / "0.wav")
+    assert abs(np.abs(y1).max() / np.abs(y0).max() - 0.501) < 0.01
+    # rain class override: polarity inversion only -> aug = -original
+    ya, _ = load_audio(out / "rain" / "0_aug001.wav")
+    yo, _ = load_audio(out / "rain" / "0.wav")
+    np.testing.assert_allclose(ya, -yo, atol=2.0 / 32768)
