@@ -1,0 +1,92 @@
+"""Stage 7 compilation: real TFLite export via jax2tf + XLA AOT benchmark."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _cpu_env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO)
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+@pytest.fixture(scope="module")
+def mlp_setup(tmp_path_factory):
+    from audio_edge_ml_pipeline_tpu.features.base import FeatureSet
+    from audio_edge_ml_pipeline_tpu.features.pipeline import FeaturePipeline
+    from audio_edge_ml_pipeline_tpu.models import get_model
+
+    root = tmp_path_factory.mktemp("comp")
+    r = np.random.default_rng(2)
+    X, y = [], []
+    for c in range(3):
+        mu = np.zeros(12)
+        mu[c * 4 : c * 4 + 4] = 2.0
+        X.append(r.normal(mu, 0.7, size=(40, 12)))
+        y.append(np.full(40, c))
+    X = np.concatenate(X).astype(np.float32)
+    y = np.concatenate(y).astype(np.int32)
+    idx = r.permutation(len(X))
+    X, y = X[idx], y[idx]
+    trainer = get_model("mlp")(epochs=25, batch_size=16, hidden_units=[16], learning_rate=5e-3)
+    trainer.fit(X[:90], y[:90], X[90:], y[90:], ["a", "b", "c"], "m", root / "run", None)
+    FeaturePipeline.save(
+        FeatureSet(features=X[90:], feature_type="classical", modality="audio",
+                   metadata=[{} for _ in X[90:]], labels=y[90:], label_names=["a", "b", "c"]),
+        root / "val",
+    )
+    return root
+
+
+def test_to_tflite_cli(mlp_setup, tmp_path):
+    root = mlp_setup
+    out = tmp_path / "deploy"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "audio_edge_ml_pipeline_tpu.compilation.to_tflite",
+            "--model", str(root / "run" / "model.flax.npz"),
+            "--features", str(root / "val"), "--output", str(out),
+            "--max-accuracy-drop", "0.05",
+        ],
+        capture_output=True, text=True, env=_cpu_env(), cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert (out / "model.tflite").exists()
+    assert (out / "label_names.json").exists()
+    assert (out / "mel_params.json").exists()
+    report = json.loads((out / "compilation_report.json").read_text())
+    assert "fp32" in report["results"]
+    assert report["results"]["fp32"]["accuracy"] > 0.7
+    # quantized variants exist and int8/dynamic are smaller than fp32
+    if "dynamic_int8" in report["results"]:
+        assert report["results"]["dynamic_int8"]["size_kb"] <= report["results"]["fp32"]["size_kb"]
+    # best within drop gate
+    best = report["best_mode"]
+    assert report["results"]["fp32"]["accuracy"] - report["results"][best]["accuracy"] <= 0.05 + 1e-9
+
+
+def test_compile_xla_cli(mlp_setup, tmp_path):
+    root = mlp_setup
+    out = tmp_path / "xla_report.json"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "audio_edge_ml_pipeline_tpu.compilation.compile_xla",
+            "--model", str(root / "run" / "model.flax.npz"),
+            "--features", str(root / "val"), "--output", str(out), "--batch", "16",
+        ],
+        capture_output=True, text=True, env=_cpu_env(), cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    report = json.loads(out.read_text())
+    assert report["xla_latency_ms_per_sample"] > 0
+    assert report["compile_seconds"] > 0
+    assert report["backend"] == "cpu"
