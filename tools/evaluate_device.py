@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Device-in-the-loop evaluation: play each frozen test-split clip (speaker
+-> device mic) while the device runs EVAL_MODE firmware, collect PRED/SCORES
+replies, and write a classification report + confusion matrix to the
+tracking store (contract of reference tools/evaluate_device.py:1-45).
+
+The host signals the device with 'R' per clip and (optionally) plays the
+clip through the default audio output via `aplay`. With --no-playback the
+device is assumed to be fed audio externally (e.g. a loopback test rig).
+
+Usage: python tools/evaluate_device.py --port /dev/ttyACM0 \
+           --dataset <audio_folder> --manifest split_manifest.json \
+           [--split test] [--experiment device-eval] [--no-playback]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from audio_edge_ml_pipeline_tpu.train.evaluate import (  # noqa: E402
+    compute_metrics,
+    save_classification_report,
+    save_confusion_matrix_png,
+)
+from audio_edge_ml_pipeline_tpu.utils import tracking  # noqa: E402
+from tools import serial_proto  # noqa: E402
+
+
+def evaluate(ser, clips: list[tuple[Path, str]], label_names: list[str],
+             playback: bool = True, output_dir: Path = Path("data/device_eval")) -> dict:
+    """Run the EVAL protocol over every clip; returns metrics."""
+    name_to_idx = {n: i for i, n in enumerate(label_names)}
+    y_true, y_pred = [], []
+    for i, (path, true_label) in enumerate(clips):
+        if playback:
+            try:
+                subprocess.run(["aplay", "-q", str(path)], check=False, timeout=30)
+            except FileNotFoundError:
+                print("aplay not found — use --no-playback with an external audio rig")
+                raise SystemExit(2)
+        pred, scores = serial_proto.eval_roundtrip(ser)
+        print(f"[{i + 1}/{len(clips)}] {path.name}: true={true_label} pred={pred}")
+        if true_label in name_to_idx and pred in name_to_idx:
+            y_true.append(name_to_idx[true_label])
+            y_pred.append(name_to_idx[pred])
+    if not y_true:
+        raise SystemExit("no valid predictions collected")
+    metrics = compute_metrics(np.array(y_true), np.array(y_pred), label_names=label_names)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    save_classification_report(np.array(y_true), np.array(y_pred), label_names, output_dir / "classification_report.txt")
+    save_confusion_matrix_png(metrics["confusion_matrix"], label_names, output_dir / "confusion_matrix.png")
+    return metrics
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--port", required=True)
+    ap.add_argument("--baud", type=int, default=115200)
+    ap.add_argument("--dataset", required=True, type=Path)
+    ap.add_argument("--manifest", type=Path, default=None)
+    ap.add_argument("--split", default="test")
+    ap.add_argument("--experiment", default="device-eval")
+    ap.add_argument("--output", type=Path, default=Path("data/device_eval"))
+    ap.add_argument("--no-playback", action="store_true")
+    ap.add_argument("--max-clips", type=int, default=None)
+    args = ap.parse_args()
+
+    clips: list[tuple[Path, str]] = []
+    if args.manifest:
+        manifest = json.loads(args.manifest.read_text())
+        for rel in manifest.get(args.split, []):
+            p = args.dataset / rel
+            if p.exists():
+                clips.append((p, Path(rel).parts[0]))
+    else:
+        for class_dir in sorted(p for p in args.dataset.iterdir() if p.is_dir()):
+            for f in sorted(class_dir.glob("*.wav")):
+                clips.append((f, class_dir.name))
+    if args.max_clips:
+        clips = clips[: args.max_clips]
+    label_names = sorted({c for _, c in clips})
+
+    ser = serial_proto.open_serial(args.port, args.baud, timeout=60)
+    metrics = evaluate(ser, clips, label_names, playback=not args.no_playback, output_dir=args.output)
+    print(f"device accuracy: {metrics['val_accuracy']:.4f}  f1_macro: {metrics['val_f1_macro']:.4f}")
+
+    tracking.set_experiment(args.experiment)
+    with tracking.start_run(run_name=f"device_eval_{args.split}") as run:
+        run.log_param("split", args.split)
+        run.log_param("n_clips", len(clips))
+        for k, v in metrics.items():
+            if isinstance(v, (int, float)):
+                run.log_metric(f"device_{k}", float(v))
+        run.log_artifact(args.output / "classification_report.txt")
+        run.log_artifact(args.output / "confusion_matrix.png")
+
+
+if __name__ == "__main__":
+    main()

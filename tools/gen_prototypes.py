@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Generate per-class mean mel prototypes as uint8 C arrays for on-device
+MSE diagnostics (contract of reference tools/gen_prototypes.py:1-30).
+
+Usage: python tools/gen_prototypes.py --features-dir data/processed/fsc22_mel_train \
+           [--output prototypes.h]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def generate(features_dir: Path, output: Path) -> None:
+    feats = np.load(features_dir / "features.npy")
+    labels = np.load(features_dir / "labels.npy")
+    names = json.loads((features_dir / "label_names.json").read_text())
+    protos = []
+    for c in range(len(names)):
+        mean = feats[labels == c].mean(axis=0)
+        protos.append(np.clip(np.round(mean * 255.0), 0, 255).astype(np.uint8))
+    lines = [
+        "/* per-class mean mel prototypes (uint8, features scaled x255) */",
+        "#ifndef PROTOTYPES_H",
+        "#define PROTOTYPES_H",
+        "",
+        f"#define PROTO_N_CLASSES {len(names)}",
+        f"#define PROTO_SIZE {protos[0].size}",
+        "",
+    ]
+    for c, (name, p) in enumerate(zip(names, protos)):
+        vals = ", ".join(str(int(v)) for v in p.ravel())
+        lines.append(f"/* {name} */")
+        lines.append(f"static const unsigned char proto_{c}[PROTO_SIZE] = {{ {vals} }};")
+    ptrs = ", ".join(f"proto_{c}" for c in range(len(names)))
+    lines += [
+        "",
+        f"static const unsigned char *PROTOTYPES[PROTO_N_CLASSES] = {{ {ptrs} }};",
+        "",
+        "#endif",
+        "",
+    ]
+    output.write_text("\n".join(lines))
+    print(f"{len(names)} prototypes ({protos[0].size} values each) -> {output}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--features-dir", required=True, type=Path)
+    ap.add_argument("--output", type=Path, default=Path("prototypes.h"))
+    args = ap.parse_args()
+    generate(args.features_dir, args.output)
+
+
+if __name__ == "__main__":
+    main()
