@@ -49,7 +49,10 @@ class FeaturePipeline:
             "Starting extraction: loader=%s (%d samples), extractor=%s",
             type(self.loader).__name__, len(self.loader), self.extractor.name,
         )
-        fs = self.extractor.extract_dataset(self.loader, max_samples=max_samples)
+        from ..utils.profiling import stage_timer
+
+        with stage_timer(f"extract:{self.extractor.name}"):
+            fs = self.extractor.extract_dataset(self.loader, max_samples=max_samples)
         logger.info("Extraction complete: %s", fs)
         return fs
 
@@ -190,6 +193,9 @@ def main() -> None:
         for exp in experiments:
             print(f"\nRunning: {exp.resolved_name()} ...")
             _run_experiment(exp, config_path=Path(args.config))
+        from ..utils.profiling import log_timing_report
+
+        log_timing_report()
         print("\nAll experiments complete.")
     else:
         from .config import ExperimentConfig

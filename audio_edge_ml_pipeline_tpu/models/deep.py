@@ -394,8 +394,30 @@ class FlaxTrainer(BaseTrainer):
         prev_lr = current_lr
         np_rng = np.random.default_rng(self.seed)
         stopped_epoch = self.epochs
+        start_epoch = 0
 
-        for epoch in range(self.epochs):
+        # mid-training checkpoint/resume (utils/checkpoint.py): opt-in via
+        # checkpoint_dir=...; resume=True restores params/opt state/loop
+        # counters from the latest epoch checkpoint.
+        checkpoint_dir = self._extra.pop("checkpoint_dir", None)
+        checkpoint_every = int(self._extra.pop("checkpoint_every", 1))
+        resume = bool(self._extra.pop("resume", True))
+        ckpt_path = Path(checkpoint_dir) / "train_state.npz" if checkpoint_dir else None
+        if ckpt_path is not None and resume:
+            from ..utils.checkpoint import load_train_state
+
+            restored = load_train_state(ckpt_path, {"params": params, "best": best_params}, opt_state)
+            if restored is not None:
+                bundles, opt_state, meta = restored
+                params, best_params = bundles["params"], bundles["best"]
+                start_epoch = int(meta["epoch"]) + 1
+                current_lr = float(meta["lr"])
+                best_val_loss = float(meta["best_val_loss"])
+                es_wait, lr_wait = int(meta["es_wait"]), int(meta["lr_wait"])
+                np_rng = np.random.default_rng(self.seed + start_epoch)
+                logger.info("[%s] resumed from %s at epoch %d", self.name, ckpt_path, start_epoch)
+
+        for epoch in range(start_epoch, self.epochs):
             perm = np_rng.permutation(n)
             ep_loss = ep_acc = 0.0
             opt_state.hyperparams["learning_rate"] = jnp.asarray(current_lr, jnp.float32)
@@ -458,6 +480,14 @@ class FlaxTrainer(BaseTrainer):
                     stopped_epoch = epoch + 1
                     logger.info("[%s] Early stopped at epoch %d/%d", self.name, epoch + 1, self.epochs)
                     break
+            if ckpt_path is not None and (epoch + 1) % checkpoint_every == 0:
+                from ..utils.checkpoint import save_train_state
+
+                save_train_state(
+                    ckpt_path, {"params": params, "best": best_params}, opt_state,
+                    {"epoch": epoch, "lr": current_lr, "best_val_loss": best_val_loss,
+                     "es_wait": es_wait, "lr_wait": lr_wait},
+                )
             if epoch_callback is not None and epoch_callback(epoch, logs):
                 stopped_epoch = epoch + 1
                 logger.info("[%s] Pruned at epoch %d/%d", self.name, epoch + 1, self.epochs)

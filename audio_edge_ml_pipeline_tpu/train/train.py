@@ -158,10 +158,13 @@ def run_one(
                 np.std([m["val_accuracy"] for m in fold_metrics]),
             )
 
-        result = trainer.fit(
-            X_train=X_train, y_train=y_train, X_val=X_val, y_val=y_val,
-            label_names=label_names, run_name=run_name, output_dir=output_dir, mlflow_run=active_run,
-        )
+        from ..utils.profiling import stage_timer
+
+        with stage_timer(f"fit:{run.model}"):
+            result = trainer.fit(
+                X_train=X_train, y_train=y_train, X_val=X_val, y_val=y_val,
+                label_names=label_names, run_name=run_name, output_dir=output_dir, mlflow_run=active_run,
+            )
 
         if run.features_test_dir:
             test_dir = Path(run.features_test_dir)

@@ -1,0 +1,133 @@
+"""Infrastructure: checkpoint/resume, native WAV decoder, stage timers,
+graft entry points."""
+
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _blobs(seed, n=40):
+    r = np.random.default_rng(seed)
+    X, y = [], []
+    for c in range(3):
+        mu = np.zeros(10)
+        mu[c * 3 : c * 3 + 3] = 2.5
+        X.append(r.normal(mu, 0.8, (n, 10)))
+        y.append(np.full(n, c))
+    X = np.concatenate(X).astype(np.float32)
+    y = np.concatenate(y).astype(np.int32)
+    idx = r.permutation(len(X))
+    return X[idx], y[idx]
+
+
+def test_checkpoint_resume(tmp_path):
+    from audio_edge_ml_pipeline_tpu.models import get_model
+
+    X, y = _blobs(0)
+    Xtr, ytr, Xva, yva = X[:90], y[:90], X[90:], y[90:]
+    names = ["a", "b", "c"]
+
+    # full run
+    full = get_model("mlp")(epochs=12, hidden_units=[12], batch_size=16, seed=3)
+    rfull = full.fit(Xtr, ytr, Xva, yva, names, "full", tmp_path / "full", None)
+
+    # interrupted run: 5 epochs with checkpointing, then resume to 12
+    part = get_model("mlp")(epochs=5, hidden_units=[12], batch_size=16, seed=3,
+                            checkpoint_dir=str(tmp_path / "ckpt"))
+    part.fit(Xtr, ytr, Xva, yva, names, "part", tmp_path / "part", None)
+    assert (tmp_path / "ckpt" / "train_state.npz").exists()
+
+    resumed = get_model("mlp")(epochs=12, hidden_units=[12], batch_size=16, seed=3,
+                               checkpoint_dir=str(tmp_path / "ckpt"), resume=True)
+    rres = resumed.fit(Xtr, ytr, Xva, yva, names, "res", tmp_path / "res", None)
+    # resumed training continues improving and ends in the same ballpark
+    assert rres.metrics["val_accuracy"] >= 0.7
+    assert abs(rres.metrics["val_accuracy"] - rfull.metrics["val_accuracy"]) <= 0.25
+
+    # corrupted/missing checkpoint falls back to fresh training
+    (tmp_path / "ckpt2").mkdir()
+    (tmp_path / "ckpt2" / "train_state.npz").write_bytes(b"garbage")
+    fresh = get_model("mlp")(epochs=3, hidden_units=[12], batch_size=16, seed=3,
+                             checkpoint_dir=str(tmp_path / "ckpt2"), resume=True)
+    fresh.fit(Xtr, ytr, Xva, yva, names, "fresh", tmp_path / "fresh", None)
+
+
+def test_native_wavio_parity(tmp_path):
+    from audio_edge_ml_pipeline_tpu.data import audio_io, native_wavio
+
+    if not native_wavio.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(1)
+    paths = []
+    for i, (ch, sr) in enumerate([(1, 16000), (2, 22050), (1, 44100)]):
+        y = rng.uniform(-0.8, 0.8, (4000, ch)).astype(np.float32)
+        p = tmp_path / f"{i}.wav"
+        audio_io.write_wav(p, y if ch > 1 else y[:, 0], sr)
+        paths.append(p)
+    for p in paths:
+        native = native_wavio.decode(p, 5000)
+        assert native is not None
+        mono_native, rate = native
+        ref, ref_rate = audio_io.read_wav(p)
+        ref_mono = ref.mean(axis=1)
+        assert rate == ref_rate
+        np.testing.assert_allclose(mono_native, ref_mono, atol=1e-6)
+    waves, lengths, rates = native_wavio.decode_batch(paths, 5000)
+    assert waves.shape == (3, 5000)
+    assert (lengths == 4000).all()
+    assert list(rates) == [16000, 22050, 44100]
+    # error paths: missing file and malformed RIFF
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"not a riff file at all")
+    _, lengths, _ = native_wavio.decode_batch([paths[0], tmp_path / "missing.wav", bad], 5000)
+    assert lengths[0] == 4000 and lengths[1] < 0 and lengths[2] < 0
+
+
+def test_stage_timers():
+    from audio_edge_ml_pipeline_tpu.utils import profiling
+
+    profiling.reset()
+    with profiling.stage_timer("unit"):
+        pass
+    with profiling.stage_timer("unit"):
+        pass
+    rep = profiling.timing_report()
+    assert rep["unit"]["calls"] == 2
+    assert rep["unit"]["total_s"] >= 0
+
+
+def test_graft_entry_single_chip():
+    import jax
+
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (8, 27)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)  # asserts internally on the sharded step
+
+
+def test_mesh_shardings():
+    import jax
+
+    from audio_edge_ml_pipeline_tpu.parallel import mesh as pm
+
+    mesh = pm.get_mesh(8, model_parallel=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    x = np.zeros((8, 16), np.float32)
+    xs = pm.shard_batch(x, mesh)
+    assert xs.sharding.spec == jax.sharding.PartitionSpec("data")
+    params = {"kernel": np.zeros((16, 64), np.float32), "bias": np.zeros((7,), np.float32)}
+    sh = pm.param_shardings(params, mesh)
+    assert sh["kernel"].spec == jax.sharding.PartitionSpec(None, "model")
+    assert sh["bias"].spec == jax.sharding.PartitionSpec()
