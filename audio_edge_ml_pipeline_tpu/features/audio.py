@@ -33,17 +33,32 @@ class AudioMelSpectrogram(BatchedAudioExtractor):
         n_fft: int = 512,
         hop_length: int = 160,
         duration: Optional[float] = None,
+        backend: str = "xla",
     ) -> None:
         self.sample_rate = sample_rate
         self.n_mels = n_mels
         self.n_fft = n_fft
         self.hop_length = hop_length
         self.duration = duration
-        self._fn = jax.jit(
-            lambda w, l: dsp.mel_spec_feature(
-                w, sr=sample_rate, n_mels=n_mels, n_fft=n_fft, hop_length=hop_length, lengths=l
+        self.backend = backend
+        if backend == "pallas":
+            # fused Pallas mel core (ops/pallas_mel.py); numerically
+            # equivalent, measured on par with the XLA conv path on v5e
+            from ..ops.pallas_mel import mel_spec_feature_pallas
+
+            interpret = jax.default_backend() not in ("tpu", "axon")
+            self._fn = jax.jit(
+                lambda w, l: mel_spec_feature_pallas(
+                    w, sr=sample_rate, n_mels=n_mels, n_fft=n_fft,
+                    hop_length=hop_length, lengths=l, interpret=interpret,
+                )
             )
-        )
+        else:
+            self._fn = jax.jit(
+                lambda w, l: dsp.mel_spec_feature(
+                    w, sr=sample_rate, n_mels=n_mels, n_fft=n_fft, hop_length=hop_length, lengths=l
+                )
+            )
 
     def min_samples(self) -> int:
         return self.n_fft
