@@ -231,6 +231,33 @@ class BatchedAudioExtractor(BaseFeatureExtractor):
         return out.astype(np.float32)
 
     # -- batched dataset path -------------------------------------------
+    def _device_batch(self, waves, lengths):
+        """Run batch_feature with the batch axis sharded over all devices
+        (rows padded to a device-count multiple; SURVEY.md §2c: data
+        parallelism is the first-class axis). Single device: direct call."""
+        import jax
+
+        n_dev = jax.device_count()
+        if n_dev <= 1:
+            return np.asarray(self.batch_feature(waves, lengths))
+        from ..parallel.mesh import batch_sharding, get_mesh
+
+        mesh = getattr(self, "_mesh", None)
+        if mesh is None or int(np.prod(mesh.devices.shape)) != n_dev:
+            mesh = get_mesh(model_parallel=1)
+            self._mesh = mesh
+        n = len(waves)
+        pad = (-n) % n_dev
+        if pad:
+            waves = np.concatenate([waves, np.zeros((pad,) + waves.shape[1:], waves.dtype)])
+            if lengths is not None:
+                lengths = np.concatenate([lengths, np.full(pad, waves.shape[1], lengths.dtype)])
+        sharding = batch_sharding(mesh)
+        waves_d = jax.device_put(waves, sharding)
+        lengths_d = jax.device_put(lengths, sharding) if lengths is not None else None
+        out = np.asarray(self.batch_feature(waves_d, lengths_d))
+        return out[:n]
+
     def _pad_bucket(self, n: int) -> int:
         """Round variable lengths up to 1s steps to bound recompilation."""
         step = self.sample_rate
@@ -280,7 +307,7 @@ class BatchedAudioExtractor(BaseFeatureExtractor):
                         waves[j, : len(y)] = y
                         lens[j] = len(y)
                     lengths = lens
-                feats = np.asarray(self.batch_feature(waves, lengths)).astype(np.float32)
+                feats = self._device_batch(waves, lengths).astype(np.float32)
                 for j, (y, label, meta) in enumerate(good):
                     f = feats[j]
                     if lengths is not None:

@@ -131,3 +131,32 @@ def test_mesh_shardings():
     sh = pm.param_shardings(params, mesh)
     assert sh["kernel"].spec == jax.sharding.PartitionSpec(None, "model")
     assert sh["bias"].spec == jax.sharding.PartitionSpec()
+
+
+def test_sharded_extraction_parity(tmp_path):
+    """Batched extraction over the 8-device virtual mesh matches single-clip
+    golden output (data-parallel extraction path)."""
+    import jax
+
+    from audio_edge_ml_pipeline_tpu.data.audio_io import load_audio, write_wav
+    from audio_edge_ml_pipeline_tpu.data.loaders import AudioFolderLoader
+    from audio_edge_ml_pipeline_tpu.features import get
+    from audio_edge_ml_pipeline_tpu.ops import golden as g
+
+    assert jax.device_count() == 8  # conftest virtual mesh
+    root = tmp_path / "audio"
+    rng = np.random.default_rng(2)
+    for c in range(2):
+        d = root / f"c{c}"
+        d.mkdir(parents=True)
+        for i in range(5):  # 10 clips -> padded to 16 rows over 8 devices
+            t = np.arange(16000) / 16000
+            y = (0.4 * np.sin(2 * np.pi * (300 + 200 * c + 10 * i) * t)
+                 + 0.03 * rng.standard_normal(16000)).astype(np.float32)
+            write_wav(d / f"{i}.wav", y, 16000)
+    ex = get("audio_mel_spec")(duration=1.0)
+    fs = ex.extract_dataset(AudioFolderLoader(root))
+    assert fs.features.shape == (10, 40, 101)
+    y0, _ = load_audio(sorted((root / "c0").glob("*.wav"))[0], sr=16000)
+    ref = g.mel_spec_feature(y0[:16000], sr=16000)
+    assert np.max(np.abs(fs.features[0] - ref)) <= 1e-5
