@@ -291,7 +291,14 @@ class FlaxTrainer(BaseTrainer):
         return None
 
     def _make_train_step(self, module, optimizer):
-        def loss_fn(params, x, y, w, rng):
+        """Training data stays device-resident; each step ships only a
+        (batch,) index vector and gathers the mini-batch on device. (Per-step
+        host->device batch uploads dominated wall clock on tunneled/remote
+        accelerators.)"""
+
+        def loss_fn(params, X_full, y_full, idx, w, rng):
+            x = jnp.take(X_full, idx, axis=0)
+            y = jnp.take(y_full, idx, axis=0)
             logits = module.apply({"params": params}, self._normalize(x), train=True, rngs={"dropout": rng})
             losses = optax.softmax_cross_entropy_with_integer_labels(logits, y)
             loss = jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
@@ -299,8 +306,10 @@ class FlaxTrainer(BaseTrainer):
             return loss, acc
 
         @jax.jit
-        def train_step(params, opt_state, x, y, w, rng):
-            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, x, y, w, rng)
+        def train_step(params, opt_state, X_full, y_full, idx, w, rng):
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, X_full, y_full, idx, w, rng
+            )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, acc
@@ -314,6 +323,18 @@ class FlaxTrainer(BaseTrainer):
             return logits
 
         return eval_step
+
+    def _batched_logits_device(self, X_dev, n: int) -> np.ndarray:
+        """Eval over an already-device-resident, bs-padded array."""
+        eval_step = getattr(self, "_cached_eval_step", None)
+        if eval_step is None:
+            eval_step = self._make_eval_step(self._module())
+            self._cached_eval_step = eval_step
+        bs = self.batch_size
+        outs = []
+        for s in range(0, X_dev.shape[0], bs):
+            outs.append(eval_step(self._params, jax.lax.slice_in_dim(X_dev, s, s + bs, axis=0)))
+        return np.concatenate([np.asarray(o) for o in outs])[:n]
 
     def _batched_logits(self, X: np.ndarray) -> np.ndarray:
         # jax.jit caches by function identity: build the jitted eval step
@@ -417,32 +438,43 @@ class FlaxTrainer(BaseTrainer):
                 np_rng = np.random.default_rng(self.seed + start_epoch)
                 logger.info("[%s] resumed from %s at epoch %d", self.name, ckpt_path, start_epoch)
 
+        # datasets move to device once; steps ship only index vectors
+        X_train_d = jnp.asarray(X_train)
+        y_train_d = jnp.asarray(y_train)
+        n_val = len(X_val)
+        val_pad = (-n_val) % self.batch_size
+        X_val_d = jnp.asarray(
+            np.concatenate([X_val, np.zeros((val_pad,) + X_val.shape[1:], X_val.dtype)]) if val_pad else X_val
+        )
+
         for epoch in range(start_epoch, self.epochs):
             perm = np_rng.permutation(n)
             ep_loss = ep_acc = 0.0
             opt_state.hyperparams["learning_rate"] = jnp.asarray(current_lr, jnp.float32)
+            losses_accs = []
             for s in range(steps):
                 idx = perm[s * bs : (s + 1) * bs]
-                xb = X_train[idx]
-                yb = y_train[idx]
                 w = np.ones(len(idx), np.float32)
                 pad = bs - len(idx)
                 if pad:
-                    xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:], xb.dtype)])
-                    yb = np.concatenate([yb, np.zeros(pad, yb.dtype)])
+                    idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
                     w = np.concatenate([w, np.zeros(pad, np.float32)])
                 rng, step_rng = jax.random.split(rng)
                 params, opt_state, loss, acc = train_step(
-                    params, opt_state, jnp.asarray(xb), jnp.asarray(yb), jnp.asarray(w), step_rng
+                    params, opt_state, X_train_d, y_train_d,
+                    jnp.asarray(idx.astype(np.int32)), jnp.asarray(w), step_rng,
                 )
+                losses_accs.append((loss, acc))
+            # single sync point per epoch (loss/acc fetched together)
+            for loss, acc in losses_accs:
                 ep_loss += float(loss)
                 ep_acc += float(acc)
             ep_loss /= steps
             ep_acc /= steps
 
-            # validation
+            # validation on device-resident batches
             self._params = params
-            val_logits = self._batched_logits(X_val)
+            val_logits = self._batched_logits_device(X_val_d, n_val)
             val_loss = float(
                 np.mean(
                     -np.take_along_axis(
@@ -726,7 +758,9 @@ class EfficientNetTeacherTrainer(FlaxTrainer):
     def _make_train_step(self, module, optimizer):
         head_only = getattr(self, "_head_only", False)
 
-        def loss_fn(params, x, y, w, rng):
+        def loss_fn(params, X_full, y_full, idx, w, rng):
+            x = jnp.take(X_full, idx, axis=0)
+            y = jnp.take(y_full, idx, axis=0)
             logits = module.apply({"params": params}, self._normalize(x), train=True, rngs={"dropout": rng})
             losses = optax.softmax_cross_entropy_with_integer_labels(logits, y)
             loss = jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
@@ -734,8 +768,10 @@ class EfficientNetTeacherTrainer(FlaxTrainer):
             return loss, acc
 
         @jax.jit
-        def train_step(params, opt_state, x, y, w, rng):
-            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, x, y, w, rng)
+        def train_step(params, opt_state, X_full, y_full, idx, w, rng):
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, X_full, y_full, idx, w, rng
+            )
             if head_only:
                 grads = unfreeze(grads) if hasattr(grads, "unfreeze") else dict(grads)
                 grads = jax.tree_util.tree_map_with_path(
@@ -796,8 +832,14 @@ class DistillationCNNTrainer(FlaxTrainer):
         if self._teacher_logits is None:
             return super()._make_train_step(module, optimizer)
         T, alpha = self.temperature, self.alpha
+        # device-resident teacher logits, gathered per batch by the same idx
+        # the student batch uses (closure constant; (N, C) is small)
+        tlogits_full = jnp.asarray(self._teacher_logits)
 
-        def loss_fn(params, x, y, tlogits, w, rng):
+        def loss_fn(params, X_full, y_full, idx, w, rng):
+            x = jnp.take(X_full, idx, axis=0)
+            y = jnp.take(y_full, idx, axis=0)
+            tlogits = jnp.take(tlogits_full, idx, axis=0)
             logits = module.apply({"params": params}, self._normalize(x), train=True, rngs={"dropout": rng})
             ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
             t_soft = jax.nn.softmax(tlogits / T, axis=-1)
@@ -809,43 +851,12 @@ class DistillationCNNTrainer(FlaxTrainer):
             return loss, acc
 
         @jax.jit
-        def train_step(params, opt_state, x, y, tlogits, w, rng):
-            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, x, y, tlogits, w, rng)
+        def train_step(params, opt_state, X_full, y_full, idx, w, rng):
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, X_full, y_full, idx, w, rng
+            )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, acc
 
-        # The base fit loop calls train_step(params, opt_state, x, y, w, rng);
-        # the adapter feeds the teacher logits for each mini-batch.
-        return _KDStepAdapter(train_step, self)
-
-
-class _KDStepAdapter:
-    """Adapter matching the base loop's train_step signature while feeding
-    the teacher logits for the current mini-batch. The base loop shuffles
-    with a seeded numpy Generator; we mirror that stream to recover batch
-    indices without changing the base loop."""
-
-    def __init__(self, step, trainer: DistillationCNNTrainer):
-        self._step = step
-        self._trainer = trainer
-        self._rng = np.random.default_rng(trainer.seed)
-        self._n = len(trainer._teacher_logits)
-        self._perm = None
-        self._cursor = 0
-        self._bs = None
-
-    def __call__(self, params, opt_state, x, y, w, rng):
-        bs = x.shape[0]
-        if self._bs is None:
-            self._bs = bs
-        if self._perm is None or self._cursor >= self._n:
-            self._perm = self._rng.permutation(self._n)
-            self._cursor = 0
-        idx = self._perm[self._cursor : self._cursor + bs]
-        self._cursor += bs
-        t = self._trainer._teacher_logits[idx]
-        pad = bs - len(t)
-        if pad:
-            t = np.concatenate([t, np.zeros((pad,) + t.shape[1:], t.dtype)])
-        return self._step(params, opt_state, x, y, jnp.asarray(t), w, rng)
+        return train_step
