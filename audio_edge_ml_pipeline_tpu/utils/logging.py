@@ -15,6 +15,12 @@ def enable_compilation_cache() -> None:
     Measured on the tunneled TPU backend: 18.4 s -> 1.2 s for a warm mel
     compile across processes. Honors JAX_COMPILATION_CACHE_DIR; defaults to
     ~/.cache/aep_tpu_jax."""
+    import sys
+
+    if "jax" not in sys.modules:
+        # jax-free CLIs (deploy/codegen, serve, augment) must not pay the
+        # jax + TPU-plugin import cost for a cache they never use
+        return
     try:
         import jax
 
