@@ -174,6 +174,7 @@ class AudioClassicalExtractor(BatchedAudioExtractor):
 
     name = "audio_classical"
     feature_type = "classical"
+    exact_length_batching = True  # deltas/contrast are not pad-maskable
 
     def __init__(
         self,

@@ -193,6 +193,13 @@ class BatchedAudioExtractor(BaseFeatureExtractor):
     duration: Optional[float] = None
     batch_size: int = 256
     decode_workers: int = 8
+    # Masked padded batches are exact for per-frame features (mel/cqt/
+    # mfcc_seq: per-frame ops + masked reductions). Features with
+    # cross-frame couplings (savgol deltas, per-band sorts in the classical
+    # stack) are contaminated near the valid/pad boundary, so those
+    # extractors set exact_length_batching: clips are grouped by exact
+    # length and processed unmasked (one compile per distinct length).
+    exact_length_batching: bool = False
 
     # -- subclass hooks -------------------------------------------------
     def target_samples(self) -> Optional[int]:
@@ -298,7 +305,19 @@ class BatchedAudioExtractor(BaseFeatureExtractor):
                     waves = np.zeros((len(good), tgt), np.float32)
                     for j, (y, _, _) in enumerate(good):
                         waves[j, : len(y)] = y[:tgt]
-                    lengths = None
+                    feats = self._device_batch(waves, None).astype(np.float32)
+                    feat_per_item = list(feats)
+                elif self.exact_length_batching:
+                    # group by exact length; each group runs unmasked
+                    feat_per_item = [None] * len(good)
+                    groups: dict[int, list[int]] = {}
+                    for j, (y, _, _) in enumerate(good):
+                        groups.setdefault(len(y), []).append(j)
+                    for length, idxs in sorted(groups.items()):
+                        waves = np.stack([good[j][0] for j in idxs])
+                        feats = self._device_batch(waves, None).astype(np.float32)
+                        for k, j in enumerate(idxs):
+                            feat_per_item[j] = feats[k]
                 else:
                     max_n = self._pad_bucket(max(len(y) for y, _, _ in good))
                     waves = np.zeros((len(good), max_n), np.float32)
@@ -306,17 +325,18 @@ class BatchedAudioExtractor(BaseFeatureExtractor):
                     for j, (y, _, _) in enumerate(good):
                         waves[j, : len(y)] = y
                         lens[j] = len(y)
-                    lengths = lens
-                feats = self._device_batch(waves, lengths).astype(np.float32)
-                for j, (y, label, meta) in enumerate(good):
-                    f = feats[j]
-                    if lengths is not None:
-                        t = self.frames_for(int(lengths[j]))
+                    feats = self._device_batch(waves, lens).astype(np.float32)
+                    feat_per_item = []
+                    for j in range(len(good)):
+                        f = feats[j]
+                        t = self.frames_for(int(lens[j]))
                         if t is not None:
                             f = f[..., :t]
                         elif f.ndim == 1 and f.shape[0] == waves.shape[1]:
-                            f = f[: int(lengths[j])]  # waveform features
-                    all_features.append(np.ascontiguousarray(f))
+                            f = f[: int(lens[j])]  # waveform features
+                        feat_per_item.append(f)
+                for j, (y, label, meta) in enumerate(good):
+                    all_features.append(np.ascontiguousarray(feat_per_item[j]))
                     all_meta.append(meta)
                     if label is not None:
                         if label not in label_to_idx:

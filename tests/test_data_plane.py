@@ -242,3 +242,38 @@ def test_pipeline_cli_end_to_end(synth_root, tmp_path):
     assert (out / "features.npy").exists() and (out / "info.json").exists()
     feats = np.load(out / "features.npy")
     assert feats.shape[0] == 4 and feats.shape[1] == 40
+
+
+def test_classical_mixed_lengths_exact(tmp_path):
+    """audio_classical with mixed clip lengths matches per-clip golden
+    exactly (exact-length grouping; masked padding would contaminate the
+    savgol deltas near the boundary)."""
+    from audio_edge_ml_pipeline_tpu import features as F
+    from audio_edge_ml_pipeline_tpu.data.audio_io import write_wav
+    from audio_edge_ml_pipeline_tpu.data.loaders import AudioFolderLoader
+    from audio_edge_ml_pipeline_tpu.ops import golden as g
+
+    sr = 22050
+    root = tmp_path / "mixed"
+    rng = np.random.default_rng(11)
+    lengths = [44100, 66150, 44100, 52000]
+    d = root / "x"
+    d.mkdir(parents=True)
+    clips = []
+    for i, L in enumerate(lengths):
+        y = (0.4 * np.sin(2 * np.pi * (200 + 90 * i) * np.arange(L) / sr)
+             + 0.04 * rng.standard_normal(L)).astype(np.float32)
+        write_wav(d / f"{i}.wav", y, sr)
+        clips.append(y)
+    loader = AudioFolderLoader(root)
+    ex = F.get("audio_classical")(sample_rate=sr)
+    fs = ex.extract_dataset(loader)
+    assert fs.features.shape == (4, 302)
+    from audio_edge_ml_pipeline_tpu.data.audio_io import load_audio
+
+    for i, (path, _, _) in enumerate(loader):
+        y, _ = load_audio(path, sr=sr)
+        ref = g.classical_feature_vector(y, sr=sr)
+        scale = np.maximum(np.abs(ref), 1.0)
+        rel = np.max(np.abs(fs.features[i] - ref) / scale)
+        assert rel <= 1e-4, f"clip {i}: {rel:.2e}"
