@@ -308,13 +308,34 @@ class BatchedAudioExtractor(BaseFeatureExtractor):
                     feats = self._device_batch(waves, None).astype(np.float32)
                     feat_per_item = list(feats)
                 elif self.exact_length_batching:
-                    # group by exact length; each group runs unmasked
+                    # Group by exact length; each group runs unmasked. Only
+                    # valid for extractors whose output shape is length-
+                    # independent (flat vectors): framed outputs would be
+                    # ragged across groups.
+                    if self.frames_for(self.min_samples()) is not None:
+                        raise TypeError(
+                            f"{self.name}: exact_length_batching requires a "
+                            "length-independent output shape (frames_for must return None)"
+                        )
                     feat_per_item = [None] * len(good)
                     groups: dict[int, list[int]] = {}
                     for j, (y, _, _) in enumerate(good):
                         groups.setdefault(len(y), []).append(j)
+                    if len(groups) > 16 and not getattr(self, "_warned_lengths", False):
+                        self._warned_lengths = True
+                        logger.warning(
+                            "%s: %d distinct clip lengths in one batch — each costs an XLA "
+                            "compile. Pass duration=... (pad/trim) to fix the shape.",
+                            self.name, len(groups),
+                        )
                     for length, idxs in sorted(groups.items()):
-                        waves = np.stack([good[j][0] for j in idxs])
+                        # pad the batch dim to a fixed size so group-size
+                        # variance does not retrigger compiles per chunk
+                        rows = max(len(idxs), 1)
+                        row_pad = min(self.batch_size, 1 << (rows - 1).bit_length()) - rows
+                        waves = np.zeros((rows + max(row_pad, 0), length), np.float32)
+                        for k, j in enumerate(idxs):
+                            waves[k] = good[j][0]
                         feats = self._device_batch(waves, None).astype(np.float32)
                         for k, j in enumerate(idxs):
                             feat_per_item[j] = feats[k]

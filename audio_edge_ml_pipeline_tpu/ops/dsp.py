@@ -608,6 +608,14 @@ def classical_feature_vector(
     this computes one magnitude STFT and derives every group from it.
     (B, n) -> (B, feature_dim); 302-d for defaults.
     """
+    if lengths is not None:
+        # savgol deltas and per-band contrast sorts couple across frames, so
+        # pad-masking cannot reproduce per-clip semantics near the boundary;
+        # callers must batch by exact length instead (features/base.py).
+        raise ValueError(
+            "classical_feature_vector does not support masked variable-length "
+            "batches; group clips by exact length (exact_length_batching)."
+        )
     feats = tuple(ref._ALL_CLASSICAL) if features is None else tuple(
         k for k in ref._ALL_CLASSICAL if k in set(features)
     )
