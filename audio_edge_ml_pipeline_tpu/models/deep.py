@@ -215,8 +215,35 @@ def _unflatten_params(template, flat: dict[str, np.ndarray]):
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
-def save_model_bundle(path: Path, arch: dict, params, norm_mean, norm_var) -> None:
-    flat = _flatten_params(params)
+def _flatten_collections(collections: dict) -> dict[str, np.ndarray]:
+    """Non-param variable collections (e.g. BatchNorm batch_stats) flattened
+    with c/<collection>/<path> keys."""
+    flat = {}
+    for col, tree in (collections or {}).items():
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+            flat[f"c/{col}/{key}"] = np.asarray(leaf)
+    return flat
+
+
+def _unflatten_collections(template_cols: dict, flat: dict[str, np.ndarray]) -> dict:
+    out = {}
+    for col, tree in (template_cols or {}).items():
+        leaves_with_path = jax.tree_util.tree_flatten_with_path(tree)[0]
+        treedef = jax.tree_util.tree_structure(tree)
+        new_leaves = []
+        for path, leaf in leaves_with_path:
+            key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+            arr = flat.get(f"c/{col}/{key}")
+            new_leaves.append(jnp.asarray(arr) if arr is not None else leaf)
+        out[col] = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    return out
+
+
+def save_model_bundle_flat(path: Path, arch: dict, flat: dict, norm_mean, norm_var) -> None:
+    """Single source of truth for the .npz bundle layout (meta JSON + norm
+    stats + flattened p/ params and c/ collections) — the format codegen and
+    checkpoints depend on (CLAUDE.md invariant)."""
     np.savez(
         path,
         __meta__=np.frombuffer(json.dumps(arch).encode(), dtype=np.uint8),
@@ -226,10 +253,18 @@ def save_model_bundle(path: Path, arch: dict, params, norm_mean, norm_var) -> No
     )
 
 
+def save_model_bundle(path: Path, arch: dict, params, norm_mean, norm_var, collections: dict | None = None) -> None:
+    flat = _flatten_params(params)
+    flat.update(_flatten_collections(collections))
+    save_model_bundle_flat(path, arch, flat, norm_mean, norm_var)
+
+
 def load_model_bundle(path: Path):
+    """Returns (arch, flat, norm_mean, norm_var); flat carries both p/ param
+    keys and c/ collection keys."""
     data = np.load(path, allow_pickle=False)
     arch = json.loads(bytes(data["__meta__"].tobytes()).decode())
-    flat = {k: data[k] for k in data.files if k.startswith("p/")}
+    flat = {k: data[k] for k in data.files if k.startswith(("p/", "c/"))}
     return arch, flat, data["norm_mean"], data["norm_var"]
 
 
@@ -260,6 +295,7 @@ class FlaxTrainer(BaseTrainer):
         self._extra = dict(kwargs)
         self._arch_dict: Optional[dict] = None
         self._params = None
+        self._collections: dict = {}
         self._norm_mean = None
         self._norm_var = None
 
@@ -276,6 +312,15 @@ class FlaxTrainer(BaseTrainer):
     # -- internals ----------------------------------------------------------
     def _module(self) -> nn.Module:
         return _MODULE_FACTORY[self._arch_dict["type"]](self._arch_dict)
+
+    def _variables(self, params) -> dict:
+        """Full variable dict for apply(): trained params + frozen non-param
+        collections (BatchNorm batch_stats etc.)."""
+        return {"params": params, **self._collections}
+
+    def _transform_grads(self, grads):
+        """Hook for subclasses (e.g. head-only fine-tuning masks)."""
+        return grads
 
     def _normalize(self, x):
         return (x - self._norm_mean) / jnp.sqrt(self._norm_var + 1e-6)
@@ -299,7 +344,7 @@ class FlaxTrainer(BaseTrainer):
         def loss_fn(params, X_full, y_full, idx, w, rng):
             x = jnp.take(X_full, idx, axis=0)
             y = jnp.take(y_full, idx, axis=0)
-            logits = module.apply({"params": params}, self._normalize(x), train=True, rngs={"dropout": rng})
+            logits = module.apply(self._variables(params), self._normalize(x), train=True, rngs={"dropout": rng})
             losses = optax.softmax_cross_entropy_with_integer_labels(logits, y)
             loss = jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
             acc = jnp.sum((jnp.argmax(logits, -1) == y) * w) / jnp.maximum(jnp.sum(w), 1.0)
@@ -310,6 +355,7 @@ class FlaxTrainer(BaseTrainer):
             (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, X_full, y_full, idx, w, rng
             )
+            grads = self._transform_grads(grads)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, acc
@@ -319,7 +365,7 @@ class FlaxTrainer(BaseTrainer):
     def _make_eval_step(self, module):
         @jax.jit
         def eval_step(params, x):
-            logits = module.apply({"params": params}, self._normalize(x), train=False)
+            logits = module.apply(self._variables(params), self._normalize(x), train=False)
             return logits
 
         return eval_step
@@ -380,11 +426,17 @@ class FlaxTrainer(BaseTrainer):
         module = self._module()
         rng = jax.random.PRNGKey(self.seed)
         rng, init_rng = jax.random.split(rng)
-        params = module.init(
+        variables = module.init(
             {"params": init_rng, "dropout": init_rng}, jnp.zeros((1,) + X_train.shape[1:], jnp.float32), train=False
-        )["params"]
+        )
+        params = variables["params"]
+        # non-param collections (BatchNorm batch_stats, ...) ride along
+        # frozen: modules run their norm layers with running averages
+        self._collections = {k: v for k, v in variables.items() if k != "params"}
 
         # pretrained warm-start: copy matching path+shape leaves, skip norm
+        # stats. Consumed once (pop): a refit of the same instance trains
+        # from its own state, mirroring the reference's one-shot transfer.
         pretrained_path = self._extra.pop("pretrained_model", None)
         if pretrained_path:
             try:
@@ -396,6 +448,7 @@ class FlaxTrainer(BaseTrainer):
                         template_flat[k] = flat[k]
                         transferred += 1
                 params = _unflatten_params(params, template_flat)
+                self._collections = _unflatten_collections(self._collections, flat)
                 logger.info("Pretrained weights: %d tensors transferred from %s", transferred, pretrained_path)
             except Exception as exc:
                 logger.warning("Pretrained weight transfer failed (%s); training from scratch", exc)
@@ -420,9 +473,9 @@ class FlaxTrainer(BaseTrainer):
         # mid-training checkpoint/resume (utils/checkpoint.py): opt-in via
         # checkpoint_dir=...; resume=True restores params/opt state/loop
         # counters from the latest epoch checkpoint.
-        checkpoint_dir = self._extra.pop("checkpoint_dir", None)
-        checkpoint_every = int(self._extra.pop("checkpoint_every", 1))
-        resume = bool(self._extra.pop("resume", True))
+        checkpoint_dir = self._extra.get("checkpoint_dir")
+        checkpoint_every = int(self._extra.get("checkpoint_every", 1))
+        resume = bool(self._extra.get("resume", True))
         ckpt_path = Path(checkpoint_dir) / "train_state.npz" if checkpoint_dir else None
         if ckpt_path is not None and resume:
             from ..utils.checkpoint import load_train_state
@@ -484,10 +537,11 @@ class FlaxTrainer(BaseTrainer):
             )
             val_acc = float((val_logits.argmax(-1) == y_val).mean())
 
+            log_epoch = epoch + getattr(self, "_log_epoch_offset", 0)
             logs = {"loss": ep_loss, "accuracy": ep_acc, "val_loss": val_loss, "val_accuracy": val_acc}
             if mlflow_run is not None:
                 for k, v in logs.items():
-                    mlflow_run.log_metric(k, v, step=epoch)
+                    mlflow_run.log_metric(k, v, step=log_epoch)
             lr_tag = ""
             if current_lr < prev_lr - 1e-12:
                 lr_tag = f"  lr={current_lr:.2e}v"
@@ -520,7 +574,7 @@ class FlaxTrainer(BaseTrainer):
                     {"epoch": epoch, "lr": current_lr, "best_val_loss": best_val_loss,
                      "es_wait": es_wait, "lr_wait": lr_wait},
                 )
-            if epoch_callback is not None and epoch_callback(epoch, logs):
+            if epoch_callback is not None and epoch_callback(log_epoch, logs):
                 stopped_epoch = epoch + 1
                 logger.info("[%s] Pruned at epoch %d/%d", self.name, epoch + 1, self.epochs)
                 break
@@ -538,6 +592,7 @@ class FlaxTrainer(BaseTrainer):
 
         params_d = {
             "model": self.name,
+            "stopped_epoch": stopped_epoch,
             "epochs": self.epochs,
             "batch_size": self.batch_size,
             "dropout": self.dropout,
@@ -572,7 +627,10 @@ class FlaxTrainer(BaseTrainer):
         return np.asarray(jax.nn.softmax(self._batched_logits(X), axis=-1))
 
     def save(self, path: Path) -> None:
-        save_model_bundle(Path(path), self._arch_dict, self._params, self._norm_mean, self._norm_var)
+        save_model_bundle(
+            Path(path), self._arch_dict, self._params, self._norm_mean, self._norm_var,
+            collections=self._collections,
+        )
 
     @classmethod
     def load(cls, path: Path) -> "FlaxTrainer":
@@ -583,10 +641,13 @@ class FlaxTrainer(BaseTrainer):
         inst._norm_mean = jnp.asarray(norm_mean)
         inst._norm_var = jnp.asarray(norm_var)
         module = _MODULE_FACTORY[arch["type"]](arch)
-        template = module.init(
+        variables = module.init(
             jax.random.PRNGKey(0), jnp.zeros((1,) + tuple(arch["input_shape"]), jnp.float32), train=False
-        )["params"]
-        inst._params = _unflatten_params(template, flat)
+        )
+        inst._params = _unflatten_params(variables["params"], flat)
+        inst._collections = _unflatten_collections(
+            {k: v for k, v in variables.items() if k != "params"}, flat
+        )
         return inst
 
 
@@ -739,50 +800,42 @@ class EfficientNetTeacherTrainer(FlaxTrainer):
         }
 
     def fit(self, X_train, y_train, X_val, y_val, label_names, run_name, output_dir, mlflow_run, epoch_callback=None):
-        # Phase 1: head-only at full lr for warmup_epochs; Phase 2: all at lr*0.1.
+        # Phase 1: head-only at full lr for warmup_epochs; Phase 2: all at
+        # lr*0.1. Phases checkpoint into separate subdirs and phase-2 metric
+        # steps continue after phase 1 (no step collisions in tracking or
+        # pruning callbacks).
         total = self.epochs
         base_lr = self.learning_rate
+        base_ckpt = self._extra.get("checkpoint_dir")
         self.epochs = min(self.warmup_epochs, total)
         self._head_only = True
+        self._log_epoch_offset = 0
+        if base_ckpt:
+            self._extra["checkpoint_dir"] = str(Path(base_ckpt) / "phase1")
         result = super().fit(X_train, y_train, X_val, y_val, label_names, run_name, output_dir, mlflow_run, epoch_callback)
         if total > self.warmup_epochs:
             self._head_only = False
             self.epochs = total - self.warmup_epochs
             self.learning_rate = base_lr * 0.1
+            self._log_epoch_offset = self.warmup_epochs
+            if base_ckpt:
+                self._extra["checkpoint_dir"] = str(Path(base_ckpt) / "phase2")
             self._extra["pretrained_model"] = str(Path(output_dir) / MODEL_FILENAME)
             result = super().fit(X_train, y_train, X_val, y_val, label_names, run_name, output_dir, mlflow_run, epoch_callback)
         self.epochs = total
         self.learning_rate = base_lr
+        self._log_epoch_offset = 0
+        if base_ckpt:
+            self._extra["checkpoint_dir"] = base_ckpt
         return result
 
-    def _make_train_step(self, module, optimizer):
-        head_only = getattr(self, "_head_only", False)
-
-        def loss_fn(params, X_full, y_full, idx, w, rng):
-            x = jnp.take(X_full, idx, axis=0)
-            y = jnp.take(y_full, idx, axis=0)
-            logits = module.apply({"params": params}, self._normalize(x), train=True, rngs={"dropout": rng})
-            losses = optax.softmax_cross_entropy_with_integer_labels(logits, y)
-            loss = jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
-            acc = jnp.sum((jnp.argmax(logits, -1) == y) * w) / jnp.maximum(jnp.sum(w), 1.0)
-            return loss, acc
-
-        @jax.jit
-        def train_step(params, opt_state, X_full, y_full, idx, w, rng):
-            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, X_full, y_full, idx, w, rng
-            )
-            if head_only:
-                grads = unfreeze(grads) if hasattr(grads, "unfreeze") else dict(grads)
-                grads = jax.tree_util.tree_map_with_path(
-                    lambda path, g: g if any("head" in str(getattr(p, "key", "")) for p in path) else jnp.zeros_like(g),
-                    grads,
-                )
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, loss, acc
-
-        return train_step
+    def _transform_grads(self, grads):
+        if not getattr(self, "_head_only", False):
+            return grads
+        return jax.tree_util.tree_map_with_path(
+            lambda path, g: g if any("head" in str(getattr(p, "key", "")) for p in path) else jnp.zeros_like(g),
+            grads,
+        )
 
 
 @register_model

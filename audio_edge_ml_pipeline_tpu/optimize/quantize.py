@@ -67,17 +67,18 @@ def load_trainer_any(path: Path, model_name: str) -> BaseTrainer:
 # ---------------------------------------------------------------------------
 
 
-def fake_quant_int8(arr: np.ndarray) -> tuple[np.ndarray, float, int]:
+def fake_quant_int8(arr: np.ndarray) -> tuple[np.ndarray, float, int, np.ndarray]:
     """Per-tensor symmetric int8 fake quantization.
-    Returns (dequantized array, scale, quantized nbytes)."""
+    Returns (dequantized array, scale, quantized nbytes, int8 tensor) — the
+    dequantized view and the stored artifact derive from the SAME rounding,
+    so measured accuracy is the deployed tensor's accuracy."""
     a = np.asarray(arr, dtype=np.float64)
     scale = float(np.max(np.abs(a))) / 127.0 if a.size else 0.0
     if scale == 0.0:
-        return np.zeros_like(arr), 0.0, arr.size
+        return np.zeros_like(arr), 0.0, arr.size, np.zeros(arr.shape, np.int8)
     q = np.clip(np.round(a / scale), -127, 127).astype(np.int8)
-    return (q.astype(arr.dtype if np.issubdtype(arr.dtype, np.floating) else np.float32) * scale).astype(
-        arr.dtype, copy=False
-    ), scale, q.nbytes + 4
+    deq = (q.astype(np.float64) * scale).astype(arr.dtype, copy=False)
+    return deq, scale, q.nbytes + 4, q
 
 
 def fake_cast(arr: np.ndarray, dtype) -> tuple[np.ndarray, int]:
@@ -141,9 +142,8 @@ def _quantize_deep_bundle(model_path: Path, mode: str, out_path: Path, calib_X: 
             new_flat[k] = arr
             store[k] = arr.astype(np.float32)
         elif mode in ("dynamic_int8", "static_int8"):
-            deq, scale, _ = fake_quant_int8(arr)
+            deq, scale, _, q = fake_quant_int8(arr)
             new_flat[k] = deq.astype(np.float32)
-            q = np.clip(np.round(arr / scale), -127, 127).astype(np.int8) if scale else np.zeros(arr.shape, np.int8)
             store[k] = q
             store[k + "!scale"] = np.float32(scale)
         elif mode == "float16":
@@ -177,13 +177,9 @@ def _quantize_deep_bundle(model_path: Path, mode: str, out_path: Path, calib_X: 
 
 
 def save_model_bundle_from_flat(path: Path, arch: dict, flat: dict, norm_mean, norm_var) -> None:
-    np.savez(
-        path,
-        __meta__=np.frombuffer(json.dumps(arch).encode(), dtype=np.uint8),
-        norm_mean=np.asarray(norm_mean),
-        norm_var=np.asarray(norm_var),
-        **flat,
-    )
+    from ..models.deep import save_model_bundle_flat
+
+    save_model_bundle_flat(path, arch, flat, norm_mean, norm_var)
 
 
 # ---------------------------------------------------------------------------
@@ -212,7 +208,13 @@ def _walk_float_arrays(obj, visit, _seen=None):
                 obj[key] = visit(val)
             else:
                 _walk_float_arrays(val, visit, _seen)
-    elif isinstance(obj, (list, tuple)):
+    elif isinstance(obj, list):
+        for i, val in enumerate(obj):
+            if isinstance(val, np.ndarray) and np.issubdtype(val.dtype, np.floating):
+                obj[i] = visit(val)
+            else:
+                _walk_float_arrays(val, visit, _seen)
+    elif isinstance(obj, tuple):
         for val in obj:
             _walk_float_arrays(val, visit, _seen)
 
@@ -226,7 +228,7 @@ def _quantize_classical(trainer: BaseTrainer, mode: str, model_path: Path, out_p
     def visit(arr):
         saved["orig"] += arr.nbytes
         if mode == "dynamic_int8":
-            deq, _, nbytes = fake_quant_int8(arr)
+            deq, _, nbytes, _q = fake_quant_int8(arr)
             saved["quant"] += nbytes
             return deq
         if mode == "float16":
@@ -238,6 +240,12 @@ def _quantize_classical(trainer: BaseTrainer, mode: str, model_path: Path, out_p
 
     target = getattr(view, "_estimator", view)
     _walk_float_arrays(target, visit)
+    if mode != "fp32" and saved["orig"] == 0:
+        # e.g. sklearn trees hold weights inside Cython objects without a
+        # __dict__; reporting them as "quantized" would misstate the artifact
+        raise ValueError(
+            f"{type(target).__name__}: no quantizable float arrays reachable — skipping {mode}"
+        )
     # size: original container minus float-array savings (arrays dominate)
     size_kb = max(original_size - saved["orig"] + saved["quant"], 256) / 1024
     view.save(out_path) if mode == "fp32" else _save_classical_quant(view, out_path)
@@ -257,7 +265,10 @@ def _save_classical_quant(view: BaseTrainer, out_path: Path) -> None:
 
 
 def evaluate_model(trainer: BaseTrainer, X: np.ndarray, y: np.ndarray, label_names: list[str]) -> dict:
-    """Accuracy / f1 / mean per-sample latency over one batched run."""
+    """Accuracy / f1 / mean per-sample latency over one batched run.
+    The timed run is warmed up first so XLA trace/compile time (20-60 s on
+    remote backends) does not pollute the reported latency."""
+    trainer.predict(X[: min(len(X), 8)])  # warm-up: trigger jit compiles
     t0 = time.perf_counter()
     y_pred = trainer.predict(X)
     latency_ms = (time.perf_counter() - t0) * 1000.0 / max(len(X), 1)

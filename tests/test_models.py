@@ -167,3 +167,21 @@ def test_pretrained_warm_start(spec_data, tmp_path):
     res = warm.fit(Xtr, ytr, Xva, yva, ["a", "b", "c"], "warm", tmp_path / "warm", None)
     # 1 epoch from pretrained should already be good
     assert res.metrics["val_accuracy"] > 0.7
+
+
+def test_efficientnet_teacher_two_phase(spec_data, tmp_path):
+    """2-phase teacher fine-tune: batch_stats collections must survive init,
+    apply, save and load (regression: ScopeCollectionNotFound)."""
+    Xtr, ytr, Xva, yva = spec_data
+    trainer = get_model("efficientnet_teacher")(
+        epochs=3, warmup_epochs=2, batch_size=16, learning_rate=3e-3, image_size=32,
+    )
+    run = tracking.start_run(run_name="teacher", experiment="unit_tests")
+    with run:
+        res = trainer.fit(Xtr[:40], ytr[:40], Xva, yva, ["a", "b", "c"], "t", tmp_path / "t", run)
+    assert np.isfinite(res.metrics["val_accuracy"])
+    # phase-2 metric steps continue after phase 1 (no step collisions)
+    rec = tracking.get_run(run.info.run_id)
+    assert rec is not None
+    loaded = get_model("efficientnet_teacher").load(tmp_path / "t" / "model.flax.npz")
+    np.testing.assert_array_equal(loaded.predict(Xva), trainer.predict(Xva))

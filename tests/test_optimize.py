@@ -23,10 +23,13 @@ def test_fake_quant_int8_roundtrip():
     from audio_edge_ml_pipeline_tpu.optimize.quantize import fake_quant_int8
 
     arr = np.linspace(-2, 2, 1000).astype(np.float32)
-    deq, scale, nbytes = fake_quant_int8(arr)
+    deq, scale, nbytes, q = fake_quant_int8(arr)
     assert nbytes == 1004
+    assert q.dtype == np.int8
     assert np.max(np.abs(deq - arr)) <= scale / 2 + 1e-7
-    z, s0, _ = fake_quant_int8(np.zeros(10, np.float32))
+    # artifact and evaluated view derive from the same rounding
+    np.testing.assert_allclose(q.astype(np.float64) * scale, deq, rtol=1e-6)
+    z, s0, _, _ = fake_quant_int8(np.zeros(10, np.float32))
     assert s0 == 0.0 and (z == 0).all()
 
 
