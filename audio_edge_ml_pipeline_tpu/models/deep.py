@@ -29,17 +29,14 @@ from __future__ import annotations
 
 import json
 import logging
-import time
-from functools import partial
 from pathlib import Path
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import linen as nn
-from flax.core import freeze, unfreeze
 
 from ..train.evaluate import (
     compute_metrics,
@@ -331,9 +328,6 @@ class FlaxTrainer(BaseTrainer):
         axes = tuple(range(X.ndim - 1))
         self._norm_mean = jnp.asarray(X.mean(axis=axes), dtype=jnp.float32)
         self._norm_var = jnp.asarray(X.var(axis=axes), dtype=jnp.float32)
-
-    def _loss_weights(self) -> Optional[np.ndarray]:
-        return None
 
     def _make_train_step(self, module, optimizer):
         """Training data stays device-resident; each step ships only a
