@@ -28,6 +28,15 @@ def get_mesh(n_devices: Optional[int] = None, model_parallel: int = 1, devices=N
     """Build a ("data", "model") mesh over the available devices."""
     devices = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but the active "
+                f"'{devices[0].platform if devices else '?'}' backend exposes only "
+                f"{len(devices)} device(s). For a virtual multi-device run, start the "
+                "process with JAX_PLATFORMS=cpu and "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices} "
+                "set BEFORE jax is imported (see tests/conftest.py)."
+            )
         devices = devices[:n_devices]
     n = len(devices)
     if n % model_parallel != 0:

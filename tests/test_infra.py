@@ -117,6 +117,35 @@ def test_graft_dryrun_multichip():
     ge.dryrun_multichip(8)  # asserts internally on the sharded step
 
 
+def test_graft_dryrun_self_provisions_from_one_device():
+    """The driver calls dryrun_multichip in an environment whose backend has
+    ONE device (tunneled axon chip). The hook must respawn itself with an
+    8-device virtual CPU backend instead of crashing (VERDICT r1 item 1)."""
+    import os
+    import sys
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO)
+    env["JAX_PLATFORMS"] = "cpu"
+    # single-device parent: strip any forced host device count
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split() if "host_platform_device_count" not in f
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=600,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "dryrun_multichip OK" in r.stdout
+
+
+def test_get_mesh_rejects_too_few_devices():
+    from audio_edge_ml_pipeline_tpu.parallel import mesh as pm
+
+    with pytest.raises(ValueError, match="xla_force_host_platform_device_count"):
+        pm.get_mesh(16)
+
+
 def test_mesh_shardings():
     import jax
 
