@@ -29,7 +29,7 @@ from typing import Optional
 import numpy as np
 
 from ..features.pipeline import FeaturePipeline
-from ..train.tune import apply_class_filter_canonical
+from ..train.tune import apply_class_filter_canonical, encode_labels_by_name
 from ..utils import tracking
 from ..utils.logging import setup_logging
 from . import quantize as qz
@@ -169,20 +169,18 @@ def _optimize_one(
 
 def _load_eval_set(features_eval: str, label_names: list[str], class_filter, run_label: str):
     """Load the eval FeatureSet, re-encoding labels **by class name** against
-    the calibration label order (reference optimize.py:480-531)."""
+    the calibration label order (reference optimize.py:480-531). Classes the
+    calibration set filtered out vanish from ``label_names``, so the by-name
+    mapping drops them from the eval set too."""
     fs = FeaturePipeline.load(features_eval)
-    X_eval, y_eval = fs.features, fs.labels
-    eval_names = fs.label_names or []
-    if class_filter:
-        X_eval, y_eval, eval_names = apply_class_filter_canonical(
-            X_eval, y_eval, eval_names, class_filter, run_label
+    keep, y_eval = encode_labels_by_name(fs.labels, fs.label_names or [], label_names)
+    X_eval = fs.features[keep]
+    dropped = len(keep) - int(keep.sum())
+    if dropped or (fs.label_names or []) != list(label_names):
+        logger.info(
+            "[%s] eval labels re-encoded by class name (%d kept, %d dropped)",
+            run_label, len(X_eval), dropped,
         )
-    if eval_names != label_names:
-        name_to_target = {n: i for i, n in enumerate(label_names)}
-        keep = np.array([eval_names[int(v)] in name_to_target for v in y_eval])
-        X_eval = X_eval[keep]
-        y_eval = np.array([name_to_target[eval_names[int(v)]] for v in y_eval[keep]], dtype=np.int32)
-        logger.info("[%s] eval labels re-encoded by class name (%d samples kept)", run_label, len(X_eval))
     return X_eval, y_eval
 
 

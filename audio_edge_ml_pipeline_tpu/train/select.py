@@ -32,50 +32,42 @@ from ..utils.logging import setup_logging
 logger = logging.getLogger(__name__)
 
 
-def _fetch_runs(experiment: str, mlflow_uri: Optional[str]) -> list[dict]:
-    tracking.set_tracking_uri(mlflow_uri)
-    records = []
-    for run in tracking.search_runs(experiment, status="FINISHED", max_results=500):
-        p, m = run.params, run.metrics
-        features_dir = p.get("features_dir")
-        features_eval_dir = p.get("features_eval_dir")
-        if features_eval_dir is None and features_dir:
-            candidate = features_dir.replace("_train", "_val")
-            if candidate != features_dir and Path(candidate).exists():
-                features_eval_dir = candidate
-        records.append(
-            {
-                "run_id": run.run_id,
-                "run_name": run.run_name or run.run_id[:8],
-                "model": p.get("model", "unknown"),
-                "val_accuracy": m.get("val_accuracy"),
-                "val_f1_macro": m.get("val_f1_macro"),
-                "model_size_kb": m.get("model_size_kb"),
-                "params": p,
-                "metrics": m,
-                "artifact_uri": run.artifact_uri,
-                "features_dir": features_dir,
-                "features_eval_dir": features_eval_dir,
-                "class_filter": p.get("class_filter"),
-            }
-        )
-    return records
+# ---------------------------------------------------------------------------
+# Pre-optimisation checkpoint
+# ---------------------------------------------------------------------------
 
 
-def _rank_runs(records: list[dict], metric: str, min_accuracy: Optional[float]) -> list[dict]:
-    survivors = []
-    for r in records:
-        if r.get("val_accuracy") is None:
-            continue
-        if min_accuracy is not None and (r["val_accuracy"] or 0.0) < min_accuracy:
-            continue
-        rank_val = r.get("metrics", {}).get(metric) or r.get(metric)
-        if rank_val is None:
-            continue
-        r["_rank_metric"] = float(rank_val)
-        survivors.append(r)
-    survivors.sort(key=lambda r: r["_rank_metric"], reverse=True)
-    return survivors
+def _eval_dir_for(params: dict) -> Optional[str]:
+    """Explicitly logged features_eval_dir, else the `_train -> _val`
+    directory-name convention when that sibling exists on disk."""
+    explicit = params.get("features_eval_dir")
+    if explicit:
+        return explicit
+    train_dir = params.get("features_dir")
+    if not train_dir:
+        return None
+    guess = train_dir.replace("_train", "_val")
+    if guess != train_dir and Path(guess).exists():
+        return guess
+    return None
+
+
+def _as_record(run) -> dict:
+    p, m = run.params, run.metrics
+    return {
+        "run_id": run.run_id,
+        "run_name": run.run_name or run.run_id[:8],
+        "model": p.get("model", "unknown"),
+        "val_accuracy": m.get("val_accuracy"),
+        "val_f1_macro": m.get("val_f1_macro"),
+        "model_size_kb": m.get("model_size_kb"),
+        "params": p,
+        "metrics": m,
+        "artifact_uri": run.artifact_uri,
+        "features_dir": p.get("features_dir"),
+        "features_eval_dir": _eval_dir_for(p),
+        "class_filter": p.get("class_filter"),
+    }
 
 
 def select_preopt(
@@ -85,8 +77,23 @@ def select_preopt(
     min_accuracy: Optional[float] = None,
     top_n: int = 5,
 ) -> list[dict]:
-    records = _fetch_runs(experiment, mlflow_uri)
-    return _rank_runs(records, metric, min_accuracy)[:top_n]
+    """Query the tracking store and return the top-N FINISHED runs ranked by
+    ``metric`` (descending), after the optional ``min_accuracy`` floor. No
+    size filter here — real sizes are only known post-optimisation."""
+    tracking.set_tracking_uri(mlflow_uri)
+    ranked: list[dict] = []
+    for run in tracking.search_runs(experiment, status="FINISHED", max_results=500):
+        rec = _as_record(run)
+        acc = rec.get("val_accuracy")
+        if acc is None or (min_accuracy is not None and acc < min_accuracy):
+            continue
+        value = rec["metrics"].get(metric, rec.get(metric))
+        if value is None:
+            continue
+        rec["_rank_metric"] = float(value)
+        ranked.append(rec)
+    ranked.sort(key=lambda r: -r["_rank_metric"])
+    return ranked[:top_n]
 
 
 def write_shortlist(
@@ -96,24 +103,26 @@ def write_shortlist(
     metric: str = "val_f1_macro",
     features_eval_dir_override: Optional[str] = None,
 ) -> None:
-    candidates = [
-        {
-            "rank": i + 1,
-            "run_id": r["run_id"],
-            "run_name": r.get("run_name"),
-            "model": r.get("model"),
-            "val_accuracy": r.get("val_accuracy"),
-            "val_f1_macro": r.get("val_f1_macro"),
-            "model_size_kb": r.get("model_size_kb"),
-            "params": r.get("params", {}),
-            "artifact_uri": r.get("artifact_uri"),
-            "features_dir": r.get("features_dir"),
-            "features_eval_dir": features_eval_dir_override or r.get("features_eval_dir"),
-            "class_filter": r.get("class_filter"),
-        }
-        for i, r in enumerate(records)
-    ]
-    out = {
+    # candidate dict keys are the shortlist.json contract (SURVEY.md §1)
+    candidates = []
+    for rank, r in enumerate(records, start=1):
+        candidates.append(
+            {
+                "rank": rank,
+                "run_id": r["run_id"],
+                "run_name": r.get("run_name"),
+                "model": r.get("model"),
+                "val_accuracy": r.get("val_accuracy"),
+                "val_f1_macro": r.get("val_f1_macro"),
+                "model_size_kb": r.get("model_size_kb"),
+                "params": r.get("params", {}),
+                "artifact_uri": r.get("artifact_uri"),
+                "features_dir": r.get("features_dir"),
+                "features_eval_dir": features_eval_dir_override or r.get("features_eval_dir"),
+                "class_filter": r.get("class_filter"),
+            }
+        )
+    doc = {
         "experiment": experiment,
         "metric": metric,
         "n_candidates": len(candidates),
@@ -122,8 +131,25 @@ def write_shortlist(
     }
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    path.write_text(json.dumps(out, indent=2))
+    path.write_text(json.dumps(doc, indent=2))
     logger.info("Shortlist (%d candidates) written: %s", len(candidates), path)
+
+
+# ---------------------------------------------------------------------------
+# Post-optimisation checkpoint
+# ---------------------------------------------------------------------------
+
+
+def _report_for(opt_dir: Path, candidate: dict) -> Optional[dict]:
+    """Locate and parse the Stage-6 report for a shortlist candidate (run
+    name preferred, model name as fallback)."""
+    for label in (candidate.get("run_name"), candidate.get("model")):
+        if not label:
+            continue
+        p = Path(opt_dir) / label / "optimization_report.json"
+        if p.exists():
+            return json.loads(p.read_text())
+    return None
 
 
 def select_postopt(
@@ -136,84 +162,40 @@ def select_postopt(
     shortlist_path = Path(shortlist_path)
     if not shortlist_path.exists():
         raise FileNotFoundError(f"Shortlist not found: {shortlist_path}")
-    shortlist = json.loads(shortlist_path.read_text()).get("candidates", [])
-    if not shortlist:
+    candidates = json.loads(shortlist_path.read_text()).get("candidates", [])
+    if not candidates:
         logger.warning("Shortlist is empty — nothing to evaluate.")
         return None
-    results = []
-    for candidate in shortlist:
-        model_name = candidate.get("model", "unknown")
-        run_name = candidate.get("run_name") or model_name
-        report_path = Path(opt_dir) / run_name / "optimization_report.json"
-        if not report_path.exists():
-            report_path = Path(opt_dir) / model_name / "optimization_report.json"
-        if not report_path.exists():
-            logger.warning("No optimization_report.json for %r — skipping.", run_name)
+
+    qualified: list[dict] = []
+    for candidate in candidates:
+        label = candidate.get("run_name") or candidate.get("model") or "?"
+        report = _report_for(Path(opt_dir), candidate)
+        if report is None:
+            logger.warning("No optimization_report.json under %s for %r — skipping.", opt_dir, label)
             continue
-        report = json.loads(report_path.read_text())
-        if max_size_kb is not None:
-            opt_size = report.get("optimized_size_kb")
-            if opt_size is not None and opt_size > max_size_kb:
-                continue
-        rank_val = report.get(metric)
-        if rank_val is None:
+        size = report.get("optimized_size_kb")
+        if max_size_kb is not None and size is not None and size > max_size_kb:
+            logger.info("%r exceeds the size bound (%.1f > %.1f KB) — dropped.", label, size, max_size_kb)
             continue
-        report["_rank_metric"] = float(rank_val)
+        value = report.get(metric)
+        if value is None:
+            continue
+        report["_rank_metric"] = float(value)
         report["_shortlist_candidate"] = candidate
-        results.append(report)
-    if not results:
+        qualified.append(report)
+
+    if not qualified:
         return None
-    results.sort(key=lambda r: r["_rank_metric"], reverse=not ascending)
-    _print_postopt_table(results, metric, ascending)
-    return results[0]
-
-
-def _fmt_float(v, width: int) -> str:
-    return "N/A".rjust(width) if v is None else f"{float(v):.4f}".rjust(width)
-
-
-def print_preopt_table(records: list[dict], metric: str, top_n: int) -> None:
-    header = (
-        f"{'#':>4}  {'Model':<16}  {'Run name':<32}  {'Accuracy':>10}  "
-        f"{'F1-macro':>10}  {'Size (KB)':>10}  {'Rank (' + metric[:12] + ')':>18}  {'Run ID':<12}"
-    )
-    sep = "-" * len(header)
-    print(f"\n{sep}\n{header}\n{sep}")
-    for i, r in enumerate(records[:top_n], start=1):
-        mark = " *" if i == 1 else "  "
-        print(
-            f"{i:>4}{mark}{r.get('model', '?'):<16}  {(r.get('run_name') or '')[:32]:<32}  "
-            f"{_fmt_float(r.get('val_accuracy'), 10)}  {_fmt_float(r.get('val_f1_macro'), 10)}  "
-            f"{_fmt_float(r.get('model_size_kb'), 10)}  {_fmt_float(r.get('_rank_metric'), 18)}  "
-            f"{r['run_id'][:12]}"
-        )
-    print(sep)
-    print(f"  * Shortlist #1  |  Top {min(top_n, len(records))} of {len(records)} qualifying run(s).\n")
-
-
-def _print_postopt_table(results: list[dict], metric: str, ascending: bool = False) -> None:
-    direction = "asc" if ascending else "desc"
-    header = (
-        f"{'#':>4}  {'Run name':<32}  {'Opt size (KB)':>14}  {'Orig size (KB)':>15}  "
-        f"{'Acc (opt)':>10}  {'Acc drop':>10}  {'Rank (' + metric[:10] + ') ' + direction:>22}"
-    )
-    sep = "-" * len(header)
-    print(f"\n{sep}\n{header}\n{sep}")
-    for i, r in enumerate(results, start=1):
-        mark = " *" if i == 1 else "  "
-        label = r.get("run_name") or r.get("model_name", "?")
-        print(
-            f"{i:>4}{mark}{label[:32]:<32}  {_fmt_float(r.get('optimized_size_kb'), 14)}  "
-            f"{_fmt_float(r.get('original_size_kb'), 15)}  {_fmt_float(r.get('val_accuracy_optimized'), 10)}  "
-            f"{_fmt_float(r.get('accuracy_drop'), 10)}  {_fmt_float(r.get('_rank_metric'), 22)}"
-        )
-    print(sep)
-    print(f"  * Best post-optimisation model  |  {len(results)} model(s) evaluated.\n")
+    qualified.sort(key=lambda r: r["_rank_metric"], reverse=not ascending)
+    _print_postopt_table(qualified, metric, ascending)
+    return qualified[0]
 
 
 def write_best(report: dict, path: Path, experiment: str) -> None:
+    # best_model.json contract (reference select.py:428-448)
     candidate = report.get("_shortlist_candidate", {})
-    out = {
+    doc = {
         "run_id": report.get("run_id") or candidate.get("run_id"),
         "run_name": report.get("run_name") or candidate.get("run_name"),
         "model": report.get("model_name") or candidate.get("model"),
@@ -231,8 +213,72 @@ def write_best(report: dict, path: Path, experiment: str) -> None:
     }
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    path.write_text(json.dumps(out, indent=2))
+    path.write_text(json.dumps(doc, indent=2))
     logger.info("Best model written: %s", path)
+
+
+# ---------------------------------------------------------------------------
+# ASCII tables
+# ---------------------------------------------------------------------------
+
+
+def _num(v, places: int = 4) -> str:
+    return "N/A" if v is None else f"{float(v):.{places}f}"
+
+
+def _render_table(headers: tuple, rows: list[tuple], footnote: str) -> None:
+    widths = [
+        max(len(str(h)), max((len(str(row[i])) for row in rows), default=0))
+        for i, h in enumerate(headers)
+    ]
+
+    def line(cells):
+        return "  ".join(str(c).ljust(w) for c, w in zip(cells, widths)).rstrip()
+
+    sep = "-" * (sum(widths) + 2 * (len(widths) - 1))
+    print("\n".join(["", sep, line(headers), sep] + [line(r) for r in rows] + [sep, footnote, ""]))
+
+
+def print_preopt_table(records: list[dict], metric: str, top_n: int) -> None:
+    shown = records[:top_n]
+    rows = [
+        (
+            f"{i}{'*' if i == 1 else ''}",
+            r.get("model", "?"),
+            (r.get("run_name") or "")[:32],
+            _num(r.get("val_accuracy")),
+            _num(r.get("val_f1_macro")),
+            _num(r.get("model_size_kb"), 1),
+            _num(r.get("_rank_metric")),
+            r["run_id"][:12],
+        )
+        for i, r in enumerate(shown, start=1)
+    ]
+    headers = ("#", "Model", "Run name", "Accuracy", "F1-macro", "Size(KB)", f"Rank({metric[:12]})", "Run ID")
+    _render_table(headers, rows, f"  * = Shortlist #1 | top {len(shown)} of {len(records)} qualifying run(s).")
+
+
+def _print_postopt_table(results: list[dict], metric: str, ascending: bool) -> None:
+    rows = [
+        (
+            f"{i}{'*' if i == 1 else ''}",
+            (r.get("run_name") or r.get("model_name") or "?")[:32],
+            _num(r.get("optimized_size_kb"), 1),
+            _num(r.get("original_size_kb"), 1),
+            _num(r.get("val_accuracy_optimized")),
+            _num(r.get("accuracy_drop")),
+            _num(r.get("_rank_metric")),
+        )
+        for i, r in enumerate(results, start=1)
+    ]
+    order = "asc" if ascending else "desc"
+    headers = ("#", "Run name", "Opt KB", "Orig KB", "Acc(opt)", "Acc drop", f"Rank({metric[:10]}) {order}")
+    _render_table(headers, rows, f"  * = Best post-optimisation model | {len(results)} model(s) evaluated.")
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -260,10 +306,11 @@ def main(argv=None) -> None:
     if args.post_opt:
         if not args.shortlist or not args.opt_dir:
             build_parser().error("--post-opt requires --shortlist and --opt-dir")
-        metric = args.metric or "val_accuracy_optimized"
         best = select_postopt(
             Path(args.shortlist), Path(args.opt_dir),
-            max_size_kb=args.max_size_kb, metric=metric, ascending=args.ascending,
+            max_size_kb=args.max_size_kb,
+            metric=args.metric or "val_accuracy_optimized",
+            ascending=args.ascending,
         )
         if best is None:
             print("No model qualified post-optimisation.")

@@ -46,43 +46,50 @@ from .evaluate import (
 logger = logging.getLogger(__name__)
 
 
-# ---------------------------------------------------------------------------
-# Classical — GridSearchCV
-# ---------------------------------------------------------------------------
+def _cfg(run_cfg: dict, defaults: dict, key: str, fallback=None):
+    """Per-run value with study-level default fallback."""
+    value = run_cfg.get(key)
+    return value if value is not None else defaults.get(key, fallback)
+
+
+# ===========================================================================
+# classical branch: estimator grids through GridSearchCV
+# ===========================================================================
 
 
 def _build_estimator(model_name: str):
+    from sklearn import discriminant_analysis, ensemble, neighbors, svm, tree
     from sklearn.decomposition import PCA
-    from sklearn.discriminant_analysis import LinearDiscriminantAnalysis
-    from sklearn.ensemble import RandomForestClassifier
-    from sklearn.neighbors import KNeighborsClassifier
     from sklearn.pipeline import Pipeline
     from sklearn.preprocessing import StandardScaler
-    from sklearn.svm import SVC
-    from sklearn.tree import DecisionTreeClassifier
+
+    def balanced_svc():
+        return svm.SVC(probability=True, class_weight="balanced")
+
+    def pca_stack(tail_name, tail):
+        return Pipeline([("scaler", StandardScaler()), ("pca", PCA(random_state=42)), (tail_name, tail)])
 
     factories = {
-        "svm": lambda: SVC(probability=True, class_weight="balanced"),
-        "lda": lambda: LinearDiscriminantAnalysis(),
-        "decision_tree": lambda: DecisionTreeClassifier(class_weight="balanced"),
-        "random_forest": lambda: RandomForestClassifier(class_weight="balanced", n_jobs=-1, random_state=42),
-        "knn": lambda: KNeighborsClassifier(),
-        "pca_svm": lambda: Pipeline(
-            [("scaler", StandardScaler()), ("pca", PCA(random_state=42)),
-             ("svm", SVC(probability=True, class_weight="balanced"))]
+        "svm": balanced_svc,
+        "lda": discriminant_analysis.LinearDiscriminantAnalysis,
+        "decision_tree": lambda: tree.DecisionTreeClassifier(class_weight="balanced"),
+        "random_forest": lambda: ensemble.RandomForestClassifier(
+            class_weight="balanced", n_jobs=-1, random_state=42
         ),
-        "pca_lda": lambda: Pipeline(
-            [("scaler", StandardScaler()), ("pca", PCA(random_state=42)), ("lda", LinearDiscriminantAnalysis())]
-        ),
-        "pca_knn": lambda: Pipeline(
-            [("scaler", StandardScaler()), ("pca", PCA(random_state=42)), ("knn", KNeighborsClassifier())]
-        ),
+        "knn": neighbors.KNeighborsClassifier,
+        "pca_svm": lambda: pca_stack("svm", balanced_svc()),
+        "pca_lda": lambda: pca_stack("lda", discriminant_analysis.LinearDiscriminantAnalysis()),
+        "pca_knn": lambda: pca_stack("knn", neighbors.KNeighborsClassifier()),
     }
-    if model_name not in factories:
-        raise ValueError(f"No estimator factory for {model_name!r}. Supported: {sorted(factories)}")
-    return factories[model_name]
+    try:
+        return factories[model_name]
+    except KeyError:
+        raise ValueError(
+            f"no estimator factory registered for {model_name!r}; choose one of {sorted(factories)}"
+        ) from None
 
 
+# friendly grid keys -> sklearn Pipeline step__param addressing
 _PARAM_PREFIXES: dict[str, dict[str, str]] = {
     "pca_svm": {"n_components": "pca__n_components", "C": "svm__C", "kernel": "svm__kernel", "gamma": "svm__gamma"},
     "pca_lda": {"n_components": "pca__n_components", "n_components_lda": "lda__n_components", "solver": "lda__solver"},
@@ -91,33 +98,51 @@ _PARAM_PREFIXES: dict[str, dict[str, str]] = {
 
 
 def _remap_param_grid(model_name: str, param_grid: dict) -> dict:
-    mapping = _PARAM_PREFIXES.get(model_name, {})
-    return {mapping.get(k, k): v for k, v in param_grid.items()}
+    aliases = _PARAM_PREFIXES.get(model_name)
+    if not aliases:
+        return dict(param_grid)
+    return {aliases.get(key, key): grid for key, grid in param_grid.items()}
+
+
+def encode_labels_by_name(y, source_names, target_names):
+    """Vectorized by-NAME label re-encoding: map integer labels encoded
+    against ``source_names`` onto the ``target_names`` ordering, dropping
+    samples whose class has no slot in the target. Returns ``(keep_mask,
+    remapped_labels)``.
+
+    This is the cross-loader guard of reference optimize.py:509-527 — two
+    loaders may order the same classes differently (audio_folder is
+    alphabetical, FSC22Loader follows the metadata CSV), so reusing integer
+    codes across FeatureSets scrambles labels.
+    """
+    slot = {name: j for j, name in enumerate(target_names)}
+    lut = np.array([slot.get(name, -1) for name in source_names], dtype=np.int64)
+    remapped = lut[np.asarray(y, dtype=np.int64)]
+    keep = remapped >= 0
+    return keep, remapped[keep].astype(np.int32)
 
 
 def apply_class_filter_canonical(X, y, label_names, class_filter, run_label: str):
-    """Class filter with **class-name-sorted** canonical integer encoding so
-    train and eval sets built by different loaders agree (reference
-    tune.py:189-212)."""
+    """Restrict a FeatureSet to ``class_filter`` under the canonical
+    **name-sorted** integer encoding (semantics of reference tune.py:189-212:
+    sorting by class name makes the encoding loader-order independent)."""
     if not class_filter:
         return X, y, label_names
-    filter_set = set(class_filter)
-    allowed_pairs = sorted(
-        [(i, n) for i, n in enumerate(label_names) if n in filter_set], key=lambda p: p[1]
+    wanted = set(class_filter)
+    kept_names = sorted(wanted.intersection(label_names))
+    if not kept_names:
+        raise ValueError(
+            f"[{run_label}] none of class_filter={sorted(wanted)} occur in {label_names}"
+        )
+    absent = wanted.difference(label_names)
+    if absent:
+        logger.warning("[%s] class_filter names absent from dataset: %s", run_label, sorted(absent))
+    keep, y_new = encode_labels_by_name(y, label_names, kept_names)
+    logger.info(
+        "[%s] class filter kept %d/%d classes, %d/%d samples",
+        run_label, len(kept_names), len(label_names), int(keep.sum()), len(y),
     )
-    allowed_indices = [i for i, _ in allowed_pairs]
-    if not allowed_indices:
-        raise ValueError(f"[{run_label}] class_filter {sorted(filter_set)} matched no classes in {label_names}")
-    missing = filter_set - {label_names[i] for i in allowed_indices}
-    if missing:
-        logger.warning("[%s] class_filter: classes not found in dataset: %s", run_label, sorted(missing))
-    mask = np.isin(y, allowed_indices)
-    X, y = X[mask], y[mask]
-    idx_map = {old: new for new, old in enumerate(allowed_indices)}
-    y = np.array([idx_map[int(v)] for v in y], dtype=np.int32)
-    label_names = [label_names[i] for i in allowed_indices]
-    logger.info("[%s] class_filter applied — %d classes, %d samples", run_label, len(label_names), len(X))
-    return X, y, label_names
+    return X[keep], y_new, kept_names
 
 
 def _split(X, y, val_split, seed=42):
@@ -134,19 +159,19 @@ def _tune_classical(run_cfg: dict, default_cfg: dict) -> Optional[dict]:
 
     model_name = run_cfg["model"]
     run_label = run_cfg.get("name") or model_name
-    features_dir = Path(run_cfg.get("features_dir") or default_cfg.get("features_dir", ""))
-    features_test_raw = run_cfg.get("features_test") or default_cfg.get("features_test")
-    output_dir = Path(run_cfg.get("output_dir") or default_cfg["output_dir"]) / run_label
-    val_split = float(run_cfg.get("val_split") or default_cfg.get("val_split", 0.2))
-    cv = int(run_cfg.get("cv") or default_cfg.get("cv", 5))
-    scoring = str(run_cfg.get("scoring") or default_cfg.get("scoring", "f1_macro"))
+    features_dir = Path(_cfg(run_cfg, default_cfg, "features_dir", ""))
+    features_test_raw = _cfg(run_cfg, default_cfg, "features_test")
+    output_dir = Path(_cfg(run_cfg, default_cfg, "output_dir")) / run_label
+    val_split = float(_cfg(run_cfg, default_cfg, "val_split", 0.2))
+    cv = int(_cfg(run_cfg, default_cfg, "cv", 5))
+    scoring = str(_cfg(run_cfg, default_cfg, "scoring", "f1_macro"))
     param_grid = run_cfg.get("grid") or {}
-    class_filter = run_cfg.get("class_filter") or default_cfg.get("class_filter") or None
+    class_filter = _cfg(run_cfg, default_cfg, "class_filter") or None
 
     fs = FeaturePipeline.load(features_dir)
     X, y, label_names = fs.features, fs.labels, fs.label_names or []
     if y is None:
-        logger.error("[%s] FeatureSet has no labels — skipping.", run_label)
+        logger.error("[%s] unlabeled FeatureSet — grid search needs labels, skipping", run_label)
         return None
     X, y, label_names = apply_class_filter_canonical(X, y, label_names, class_filter, run_label)
     X_flat = X.reshape(len(X), -1).astype(np.float32)
@@ -173,10 +198,13 @@ def _tune_classical(run_cfg: dict, default_cfg: dict) -> Optional[dict]:
     if features_test_raw and Path(features_test_raw).exists():
         test_fs = FeaturePipeline.load(features_test_raw)
         if test_fs.labels is not None:
-            X_test_f, y_test_f, _ = apply_class_filter_canonical(
-                test_fs.features.reshape(len(test_fs.features), -1).astype(np.float32),
-                test_fs.labels, test_fs.label_names or [], class_filter, run_label,
+            # re-encode test labels by class NAME against the training
+            # ordering — the test set may come from a loader with a
+            # different class order (reference optimize.py:509-527 guard)
+            keep, y_test_f = encode_labels_by_name(
+                test_fs.labels, test_fs.label_names or [], label_names
             )
+            X_test_f = test_fs.features.reshape(len(test_fs.features), -1).astype(np.float32)[keep]
             test_metrics = compute_metrics(y_test_f, best_estimator.predict(X_test_f), None, label_names)
             logger.info(
                 "[%s] Test accuracy=%.4f f1_macro=%.4f (n=%d)",
@@ -219,66 +247,72 @@ def _tune_classical(run_cfg: dict, default_cfg: dict) -> Optional[dict]:
     }
 
 
-# ---------------------------------------------------------------------------
-# Deep — TPE search
-# ---------------------------------------------------------------------------
+# ===========================================================================
+# deep branch: TPE search over the YAML search-space DSL
+# ===========================================================================
+
+
+def _draw_categorical(trial: search.Trial, name: str, choices):
+    """The sampler needs hashable primitives, so list-valued options are
+    keyed by their JSON text; the winning key is mapped back to the original
+    object by position."""
+    keys = [json.dumps(c) if isinstance(c, (list, tuple)) else c for c in choices]
+    pick = trial.suggest_categorical(name, keys)
+    chosen = choices[keys.index(pick)]
+    return list(chosen) if isinstance(chosen, tuple) else chosen
 
 
 def sample_search_space(trial: search.Trial, search_space: dict) -> dict:
-    """Search-space DSL -> suggest_* calls (reference tune.py:382-436);
-    list-valued categorical choices are JSON-encoded/decoded."""
-
-    def _cat(key, choices):
-        encoded = [json.dumps(c) if isinstance(c, (list, tuple)) else c for c in choices]
-        value = trial.suggest_categorical(key, encoded)
-        if isinstance(value, str):
-            try:
-                decoded = json.loads(value)
-                if isinstance(decoded, list):
-                    return decoded
-            except (ValueError, TypeError):
-                pass
-        return value
-
-    params: dict = {}
-    for key, spec in search_space.items():
+    """YAML search-space DSL -> trial draws (semantics of reference
+    tune.py:382-436): a bare list is a categorical; a dict selects a
+    distribution through its ``type`` key (categorical / float / uniform /
+    loguniform / int)."""
+    drawn: dict = {}
+    for name, spec in search_space.items():
         if isinstance(spec, list):
-            params[key] = _cat(key, spec)
-        elif isinstance(spec, dict):
-            kind = str(spec.get("type", "categorical")).lower()
-            if kind == "categorical":
-                params[key] = _cat(key, spec["choices"])
-            elif kind in ("float", "uniform"):
-                params[key] = trial.suggest_float(key, float(spec["low"]), float(spec["high"]), step=spec.get("step"))
-            elif kind == "loguniform":
-                params[key] = trial.suggest_float(key, float(spec["low"]), float(spec["high"]), log=True)
-            elif kind == "int":
-                params[key] = trial.suggest_int(key, int(spec["low"]), int(spec["high"]), step=int(spec.get("step", 1)))
-            else:
-                raise ValueError(f"Unknown search_space type {kind!r} for {key!r}.")
+            spec = {"type": "categorical", "choices": spec}
+        if not isinstance(spec, dict):
+            raise ValueError(f"search_space entry {name!r} must be a list or dict, got {spec!r}")
+        kind = str(spec.get("type", "categorical")).lower()
+        if kind == "categorical":
+            drawn[name] = _draw_categorical(trial, name, spec["choices"])
+            continue
+        if kind == "int":
+            drawn[name] = trial.suggest_int(
+                name, int(spec["low"]), int(spec["high"]), step=int(spec.get("step", 1))
+            )
+            continue
+        lo, hi = float(spec["low"]), float(spec["high"])
+        if kind in ("float", "uniform"):
+            drawn[name] = trial.suggest_float(name, lo, hi, step=spec.get("step"))
+        elif kind == "loguniform":
+            drawn[name] = trial.suggest_float(name, lo, hi, log=True)
         else:
-            raise ValueError(f"Invalid search_space spec for {key!r}: {spec!r}")
-    return params
+            raise ValueError(
+                f"search_space entry {name!r}: unknown type {kind!r} "
+                "(expected categorical, float, uniform, loguniform or int)"
+            )
+    return drawn
 
 
 def _tune_deep(run_cfg: dict, default_cfg: dict) -> Optional[dict]:
     model_name = run_cfg["model"]
     run_label = run_cfg.get("name") or model_name
-    features_dir = Path(run_cfg.get("features_dir") or default_cfg.get("features_dir", ""))
-    features_test_raw = run_cfg.get("features_test") or default_cfg.get("features_test")
-    output_dir = Path(run_cfg.get("output_dir") or default_cfg["output_dir"]) / run_label
-    val_split = float(run_cfg.get("val_split") or default_cfg.get("val_split", 0.2))
-    n_trials = int(run_cfg.get("n_trials") or default_cfg.get("n_trials", 20))
-    sweep_epochs = int(run_cfg.get("sweep_epochs") or default_cfg.get("sweep_epochs", 25))
+    features_dir = Path(_cfg(run_cfg, default_cfg, "features_dir", ""))
+    features_test_raw = _cfg(run_cfg, default_cfg, "features_test")
+    output_dir = Path(_cfg(run_cfg, default_cfg, "output_dir")) / run_label
+    val_split = float(_cfg(run_cfg, default_cfg, "val_split", 0.2))
+    n_trials = int(_cfg(run_cfg, default_cfg, "n_trials", 20))
+    sweep_epochs = int(_cfg(run_cfg, default_cfg, "sweep_epochs", 25))
     seed = int(default_cfg.get("seed", 42))
-    pruner_name = str(run_cfg.get("pruner") or default_cfg.get("pruner", "median")).lower()
+    pruner_name = str(_cfg(run_cfg, default_cfg, "pruner", "median")).lower()
     search_space = run_cfg.get("search_space") or {}
-    class_filter = run_cfg.get("class_filter") or default_cfg.get("class_filter") or None
+    class_filter = _cfg(run_cfg, default_cfg, "class_filter") or None
 
     fs = FeaturePipeline.load(features_dir)
     X, y, label_names = fs.features, fs.labels, fs.label_names or []
     if y is None:
-        logger.error("[%s] FeatureSet has no labels — skipping.", run_label)
+        logger.error("[%s] unlabeled FeatureSet — tuning needs labels, skipping", run_label)
         return None
     X, y, label_names = apply_class_filter_canonical(X, y, label_names, class_filter, run_label)
     X_train, X_val, y_train, y_val = _split(X, y, val_split, seed)
@@ -381,9 +415,12 @@ def _tune_deep(run_cfg: dict, default_cfg: dict) -> Optional[dict]:
         try:
             test_fs = FeaturePipeline.load(features_test_raw)
             if test_fs.labels is not None:
-                X_test_f, y_test_f, _ = apply_class_filter_canonical(
-                    test_fs.features, test_fs.labels, test_fs.label_names or [], class_filter, run_label
+                # by-name re-encoding against the training label order (see
+                # _tune_classical for rationale)
+                keep, y_test_f = encode_labels_by_name(
+                    test_fs.labels, test_fs.label_names or [], label_names
                 )
+                X_test_f = test_fs.features[keep]
                 from ..models.deep import MODEL_FILENAME
 
                 best_dir = output_dir / f"trial_{best_trial.number:02d}"
@@ -403,9 +440,38 @@ def _tune_deep(run_cfg: dict, default_cfg: dict) -> Optional[dict]:
     return trial_records.get(best_trial.number)
 
 
-# ---------------------------------------------------------------------------
-# CLI
-# ---------------------------------------------------------------------------
+# ===========================================================================
+# CLI entry
+# ===========================================================================
+
+
+def _archive_config(cfg_path: Path, experiment: str) -> str:
+    """Copy the study YAML into config/experiments/ for provenance; returns
+    the filesystem-safe experiment name."""
+    safe_name = experiment.replace("/", "_").replace(" ", "_")
+    archive = Path("config/experiments") / f"{safe_name}.yaml"
+    archive.parent.mkdir(parents=True, exist_ok=True)
+    if cfg_path.resolve() != archive.resolve():
+        shutil.copy2(cfg_path, archive)
+    return safe_name
+
+
+def _dispatch_run(run_cfg: dict, study_cfg: dict) -> Optional[dict]:
+    """Route one run to the classical or deep tuner; None when skipped."""
+    model_name = run_cfg.get("model", "?")
+    run_label = run_cfg.get("name") or model_name
+    try:
+        model_type = get_model(model_name).model_type
+    except (KeyError, ValueError) as exc:
+        logger.error("unknown model %r: %s", model_name, exc)
+        return None
+    logger.info("run %-20s (model_type=%s)", run_label, model_type)
+    required_key = "grid" if model_type == "classical" else "search_space"
+    if required_key not in run_cfg:
+        logger.warning("[%s] missing %r section — run skipped", run_label, required_key)
+        return None
+    tuner = _tune_classical if model_type == "classical" else _tune_deep
+    return tuner(run_cfg, study_cfg)
 
 
 def main(argv=None) -> None:
@@ -419,65 +485,43 @@ def main(argv=None) -> None:
 
     cfg_path = Path(args.config)
     if not cfg_path.exists():
-        logger.error("Config not found: %s", cfg_path)
+        logger.error("config YAML does not exist: %s", cfg_path)
         sys.exit(1)
-    raw = yaml.safe_load(cfg_path.read_text()) or {}
-    for key in ("output_dir", "runs"):
-        if key not in raw:
-            logger.error("tuning.yaml must include %r.", key)
-            sys.exit(1)
+    study_cfg = yaml.safe_load(cfg_path.read_text()) or {}
+    missing_keys = [k for k in ("output_dir", "runs") if k not in study_cfg]
+    if missing_keys:
+        logger.error("tuning config is missing required key(s): %s", missing_keys)
+        sys.exit(1)
 
-    output_dir = Path(raw["output_dir"])
-    experiment = raw.get("experiment", "ml-pipeline-tuning")
-    experiments_dir = Path("config/experiments")
-    experiments_dir.mkdir(parents=True, exist_ok=True)
-    safe_name = experiment.replace("/", "_").replace(" ", "_")
-    archive = experiments_dir / f"{safe_name}.yaml"
-    if cfg_path.resolve() != archive.resolve():
-        shutil.copy2(cfg_path, archive)
+    output_dir = Path(study_cfg["output_dir"])
+    experiment = study_cfg.get("experiment", "ml-pipeline-tuning")
+    safe_name = _archive_config(cfg_path, experiment)
 
-    tracking.set_tracking_uri(raw.get("mlflow_uri"))
+    tracking.set_tracking_uri(study_cfg.get("mlflow_uri"))
     tracking.set_experiment(experiment)
 
-    runs: list = raw.get("runs") or []
-    allowed_models = None
-    if raw.get("shortlist"):
-        sl = json.loads(Path(raw["shortlist"]).read_text())
-        allowed_models = {c["model"] for c in sl.get("candidates", [])}
-        logger.info("Shortlist filter active — tuning only: %s", sorted(allowed_models))
-    eligible = [r for r in runs if allowed_models is None or r.get("model") in allowed_models]
+    eligible = list(study_cfg.get("runs") or [])
+    if study_cfg.get("shortlist"):
+        doc = json.loads(Path(study_cfg["shortlist"]).read_text())
+        shortlisted = {c["model"] for c in doc.get("candidates", [])}
+        logger.info("shortlist filter active — tuning only: %s", sorted(shortlisted))
+        eligible = [r for r in eligible if r.get("model") in shortlisted]
     if not eligible:
-        logger.error("No eligible runs (check shortlist vs. run model names).")
+        logger.error("no eligible runs (does the shortlist cover any configured model?)")
         sys.exit(1)
 
     results = []
     for run_cfg in eligible:
-        model_name = run_cfg.get("model", "?")
-        run_label = run_cfg.get("name") or model_name
         try:
-            model_type = get_model(model_name).model_type
-        except (KeyError, ValueError) as exc:
-            logger.error("Unknown model %r: %s", model_name, exc)
-            continue
-        logger.info("Run: %-20s  type=%s", run_label, model_type)
-        try:
-            if model_type == "classical":
-                if "grid" not in run_cfg:
-                    logger.warning("[%s] No 'grid:' key — skipping.", run_label)
-                    continue
-                result = _tune_classical(run_cfg, raw)
-            else:
-                if "search_space" not in run_cfg:
-                    logger.warning("[%s] No 'search_space:' key — skipping.", run_label)
-                    continue
-                result = _tune_deep(run_cfg, raw)
-            if result:
-                results.append(result)
+            outcome = _dispatch_run(run_cfg, study_cfg)
         except Exception as exc:
-            logger.error("Run %r failed: %s", run_label, exc, exc_info=True)
+            logger.error("run %r failed: %s", run_cfg.get("name") or run_cfg.get("model"), exc, exc_info=True)
+            continue
+        if outcome:
+            results.append(outcome)
 
     if not results:
-        logger.error("All runs failed.")
+        logger.error("every tuning run failed")
         sys.exit(1)
 
     results.sort(key=lambda r: r.get("val_f1_macro", 0.0), reverse=True)
@@ -512,10 +556,10 @@ def main(argv=None) -> None:
     scoped.write_text(json.dumps(shortlist_doc, indent=2))
     logger.info("Shortlist (%d candidates) -> %s", len(results), output_dir / "shortlist.json")
 
-    logger.info("  %-22s  %-12s  %8s  %8s", "run", "model", "val_acc", "f1_macro")
+    logger.info("  %22s | %12s | %8s | %8s", "run", "model", "val_acc", "f1_macro")
     for r in results:
         logger.info(
-            "  %-22s  %-12s  %8.4f  %8.4f",
+            "  %22s | %12s | %8.4f | %8.4f",
             r.get("run_name", "")[:22], r.get("model", ""), r.get("val_accuracy", 0.0), r.get("val_f1_macro", 0.0),
         )
 

@@ -100,6 +100,35 @@ def test_catch_failures():
     assert study.best_value == 5.0
 
 
+def test_encode_labels_by_name_cross_loader_order():
+    """Two loaders ordering the same classes differently must agree after
+    by-name re-encoding (guard of reference optimize.py:509-527)."""
+    from audio_edge_ml_pipeline_tpu.train.tune import encode_labels_by_name
+
+    train_names = ["bird", "cat", "dog"]            # e.g. alphabetical loader
+    test_names = ["dog", "bird", "cat", "emu"]      # metadata-order loader + extra class
+    y_test = np.array([0, 1, 2, 3, 1, 0], dtype=np.int32)
+    keep, y_mapped = encode_labels_by_name(y_test, test_names, train_names)
+    # "emu" has no slot in the training encoding -> dropped
+    assert keep.tolist() == [True, True, True, False, True, True]
+    # dog->2, bird->0, cat->1 under the training order
+    assert y_mapped.tolist() == [2, 0, 1, 0, 2]
+
+
+def test_class_filter_canonical_name_sorted():
+    from audio_edge_ml_pipeline_tpu.train.tune import apply_class_filter_canonical
+
+    X = np.arange(12, dtype=np.float32).reshape(6, 2)
+    y = np.array([0, 1, 2, 2, 1, 0], dtype=np.int32)
+    names = ["zebra", "ant", "mole"]  # loader order != name order
+    Xf, yf, kept = apply_class_filter_canonical(X, y, names, ["zebra", "ant"], "t")
+    assert kept == ["ant", "zebra"]  # canonical = sorted by name
+    assert yf.tolist() == [1, 0, 0, 1]  # zebra->1, ant->0
+    assert Xf.shape == (4, 2)
+    with pytest.raises(ValueError):
+        apply_class_filter_canonical(X, y, names, ["absent"], "t")
+
+
 def _cpu_env():
     env = dict(os.environ)
     env["PYTHONPATH"] = str(REPO)
