@@ -77,6 +77,23 @@ def test_classical_trainers(name, flat_data, tmp_path):
         np.testing.assert_allclose(proba.sum(1), 1.0, atol=1e-5)
 
 
+def test_knn_predict_does_not_retrace(flat_data, tmp_path):
+    """Repeated same-shape predicts must hit JAX's trace cache — a fresh
+    jitted closure per call means a full XLA recompile per predict
+    (CLAUDE.md invariant; VERDICT r1 weak #1)."""
+    from audio_edge_ml_pipeline_tpu.models import classical
+
+    Xtr, ytr, Xva, yva = flat_data
+    trainer = get_model("knn")(n_neighbors=3)
+    trainer.fit(Xtr, ytr, Xva, yva, ["a", "b", "c"], "knn_rt", tmp_path / "knn_rt", None)
+    trainer.predict(Xva)  # warm the (shape, k, n_classes) signature
+    before = classical._knn_trace_count
+    trainer.predict(Xva)
+    trainer.predict_proba(Xva)
+    trainer.predict(Xva)
+    assert classical._knn_trace_count == before, "KNN retraced on a warm signature"
+
+
 def test_pca_pipelines(flat_data, tmp_path):
     Xtr, ytr, Xva, yva = flat_data
     trainer = get_model("pca_svm")(n_components=5)
