@@ -99,6 +99,46 @@ class CNNModule(nn.Module):
         return nn.Dense(self.n_classes)(x)
 
 
+class DSCNNModule(nn.Module):
+    """Depthwise-separable CNN (Hello-Edge DS-CNN shape): stem conv ->
+    optional 2x2 pool -> N x (depthwise 3x3 + pointwise 1x1) blocks ->
+    GAP -> head. BatchNorm after every conv, pooling selectable — the
+    architecture that exercises the full C kernel surface of reference
+    model_to_c.py:98-323 (dwconv / avgpool / batchnorm)."""
+
+    filters: tuple[int, ...]  # (stem_channels, block1_channels, ...)
+    dropout: float
+    n_classes: int
+    first_stride: int = 2
+    pool: str = "avg"  # "avg" | "max" | "none" after the stem
+    batch_norm: bool = True
+
+    def _maybe_bn(self, x, train: bool):
+        if self.batch_norm:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        return x
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        s = self.first_stride
+        x = nn.Conv(self.filters[0], (3, 3), strides=(s, s), padding="SAME", use_bias=not self.batch_norm)(x)
+        x = nn.relu(self._maybe_bn(x, train))
+        if self.pool == "avg":
+            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        elif self.pool == "max":
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        for f in self.filters[1:]:
+            c = x.shape[-1]
+            x = nn.Conv(c, (3, 3), padding="SAME", feature_group_count=c, use_bias=not self.batch_norm)(x)
+            x = nn.relu(self._maybe_bn(x, train))
+            x = nn.Conv(f, (1, 1), padding="VALID", use_bias=not self.batch_norm)(x)
+            x = nn.relu(self._maybe_bn(x, train))
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = jnp.mean(x, axis=(1, 2))  # GAP2D
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return nn.Dense(self.n_classes)(x)
+
+
 class BiLSTMModule(nn.Module):
     units: int
     n_layers: int
@@ -182,6 +222,10 @@ _MODULE_FACTORY = {
     "efficientnet_teacher": lambda a: EfficientNetTeacherModule(a["n_classes"], a["dropout"], a.get("image_size", 224)),
     "distillation_cnn": lambda a: CNNModule(
         tuple(a["filters"]), a["dropout"], a["n_classes"], a.get("first_stride", 1), a.get("second_stride", 1)
+    ),
+    "ds_cnn": lambda a: DSCNNModule(
+        tuple(a["filters"]), a["dropout"], a["n_classes"], a.get("first_stride", 2),
+        a.get("pool", "avg"), a.get("batch_norm", True)
     ),
 }
 
@@ -329,37 +373,46 @@ class FlaxTrainer(BaseTrainer):
         self._norm_mean = jnp.asarray(X.mean(axis=axes), dtype=jnp.float32)
         self._norm_var = jnp.asarray(X.var(axis=axes), dtype=jnp.float32)
 
-    def _make_train_step(self, module, optimizer):
+    def _make_train_step(self, module, optimizer, mutable_cols: tuple[str, ...]):
         """Training data stays device-resident; each step ships only a
         (batch,) index vector and gathers the mini-batch on device. (Per-step
         host->device batch uploads dominated wall clock on tunneled/remote
-        accelerators.)"""
+        accelerators.) Non-param collections (BatchNorm batch_stats) are
+        threaded through the step and updated when the module mutates them."""
 
-        def loss_fn(params, X_full, y_full, idx, w, rng):
+        def loss_fn(params, cols, X_full, y_full, idx, w, rng):
             x = jnp.take(X_full, idx, axis=0)
             y = jnp.take(y_full, idx, axis=0)
-            logits = module.apply(self._variables(params), self._normalize(x), train=True, rngs={"dropout": rng})
+            variables = {"params": params, **cols}
+            if mutable_cols:
+                logits, new_cols = module.apply(
+                    variables, self._normalize(x), train=True, rngs={"dropout": rng},
+                    mutable=list(mutable_cols),
+                )
+            else:
+                logits = module.apply(variables, self._normalize(x), train=True, rngs={"dropout": rng})
+                new_cols = cols
             losses = optax.softmax_cross_entropy_with_integer_labels(logits, y)
             loss = jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
             acc = jnp.sum((jnp.argmax(logits, -1) == y) * w) / jnp.maximum(jnp.sum(w), 1.0)
-            return loss, acc
+            return loss, (acc, new_cols)
 
         @jax.jit
-        def train_step(params, opt_state, X_full, y_full, idx, w, rng):
-            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, X_full, y_full, idx, w, rng
+        def train_step(params, cols, opt_state, X_full, y_full, idx, w, rng):
+            (loss, (acc, new_cols)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, cols, X_full, y_full, idx, w, rng
             )
             grads = self._transform_grads(grads)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss, acc
+            return params, dict(new_cols), opt_state, loss, acc
 
         return train_step
 
     def _make_eval_step(self, module):
         @jax.jit
-        def eval_step(params, x):
-            logits = module.apply(self._variables(params), self._normalize(x), train=False)
+        def eval_step(params, cols, x):
+            logits = module.apply({"params": params, **cols}, self._normalize(x), train=False)
             return logits
 
         return eval_step
@@ -373,7 +426,7 @@ class FlaxTrainer(BaseTrainer):
         bs = self.batch_size
         outs = []
         for s in range(0, X_dev.shape[0], bs):
-            outs.append(eval_step(self._params, jax.lax.slice_in_dim(X_dev, s, s + bs, axis=0)))
+            outs.append(eval_step(self._params, self._collections, jax.lax.slice_in_dim(X_dev, s, s + bs, axis=0)))
         return np.concatenate([np.asarray(o) for o in outs])[:n]
 
     def _batched_logits(self, X: np.ndarray) -> np.ndarray:
@@ -392,7 +445,7 @@ class FlaxTrainer(BaseTrainer):
             pad = bs - len(xb)
             if pad:
                 xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:], xb.dtype)])
-            outs.append(np.asarray(eval_step(self._params, jnp.asarray(xb)))[: len(X[s : s + bs])])
+            outs.append(np.asarray(eval_step(self._params, self._collections, jnp.asarray(xb)))[: len(X[s : s + bs])])
         return np.concatenate(outs)
 
     # -- BaseTrainer ---------------------------------------------------------
@@ -424,8 +477,8 @@ class FlaxTrainer(BaseTrainer):
             {"params": init_rng, "dropout": init_rng}, jnp.zeros((1,) + X_train.shape[1:], jnp.float32), train=False
         )
         params = variables["params"]
-        # non-param collections (BatchNorm batch_stats, ...) ride along
-        # frozen: modules run their norm layers with running averages
+        # non-param collections (BatchNorm batch_stats, ...): updated by the
+        # train step when the module mutates them, frozen at inference
         self._collections = {k: v for k, v in variables.items() if k != "params"}
 
         # pretrained warm-start: copy matching path+shape leaves, skip norm
@@ -449,13 +502,15 @@ class FlaxTrainer(BaseTrainer):
 
         optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=self.learning_rate)
         opt_state = optimizer.init(params)
-        train_step = self._make_train_step(module, optimizer)
+        cols = {k: dict(v) if hasattr(v, "items") else v for k, v in self._collections.items()}
+        train_step = self._make_train_step(module, optimizer, tuple(sorted(cols)))
 
         n = len(X_train)
         bs = min(self.batch_size, max(n, 1))
         steps = max(1, -(-n // bs))
         best_val_loss = float("inf")
         best_params = params
+        best_cols = cols
         patience_es, patience_lr = 10, 5
         es_wait = lr_wait = 0
         current_lr = self.learning_rate
@@ -474,10 +529,13 @@ class FlaxTrainer(BaseTrainer):
         if ckpt_path is not None and resume:
             from ..utils.checkpoint import load_train_state
 
-            restored = load_train_state(ckpt_path, {"params": params, "best": best_params}, opt_state)
+            restored = load_train_state(
+                ckpt_path, {"params": params, "best": best_params, "cols": cols, "best_cols": best_cols}, opt_state
+            )
             if restored is not None:
                 bundles, opt_state, meta = restored
                 params, best_params = bundles["params"], bundles["best"]
+                cols, best_cols = bundles["cols"], bundles["best_cols"]
                 start_epoch = int(meta["epoch"]) + 1
                 current_lr = float(meta["lr"])
                 best_val_loss = float(meta["best_val_loss"])
@@ -507,8 +565,8 @@ class FlaxTrainer(BaseTrainer):
                     idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
                     w = np.concatenate([w, np.zeros(pad, np.float32)])
                 rng, step_rng = jax.random.split(rng)
-                params, opt_state, loss, acc = train_step(
-                    params, opt_state, X_train_d, y_train_d,
+                params, cols, opt_state, loss, acc = train_step(
+                    params, cols, opt_state, X_train_d, y_train_d,
                     jnp.asarray(idx.astype(np.int32)), jnp.asarray(w), step_rng,
                 )
                 losses_accs.append((loss, acc))
@@ -519,8 +577,9 @@ class FlaxTrainer(BaseTrainer):
             ep_loss /= steps
             ep_acc /= steps
 
-            # validation on device-resident batches
+            # validation on device-resident batches (current epoch's stats)
             self._params = params
+            self._collections = cols
             val_logits = self._batched_logits_device(X_val_d, n_val)
             val_loss = float(
                 np.mean(
@@ -549,6 +608,7 @@ class FlaxTrainer(BaseTrainer):
             if val_loss < best_val_loss - 1e-12:
                 best_val_loss = val_loss
                 best_params = params
+                best_cols = cols
                 es_wait = lr_wait = 0
             else:
                 es_wait += 1
@@ -564,7 +624,9 @@ class FlaxTrainer(BaseTrainer):
                 from ..utils.checkpoint import save_train_state
 
                 save_train_state(
-                    ckpt_path, {"params": params, "best": best_params}, opt_state,
+                    ckpt_path,
+                    {"params": params, "best": best_params, "cols": cols, "best_cols": best_cols},
+                    opt_state,
                     {"epoch": epoch, "lr": current_lr, "best_val_loss": best_val_loss,
                      "es_wait": es_wait, "lr_wait": lr_wait},
                 )
@@ -574,6 +636,7 @@ class FlaxTrainer(BaseTrainer):
                 break
 
         self._params = best_params
+        self._collections = best_cols
 
         y_pred_val = self._batched_logits(X_val).argmax(-1)
         val_metrics = compute_metrics(y_val, y_pred_val, label_names=label_names)
@@ -712,6 +775,42 @@ class CNNTrainer(FlaxTrainer):
             "type": "cnn", "filters": list(self.filters), "dropout": self.dropout,
             "n_classes": n_classes, "first_stride": self.first_stride,
             "second_stride": self.second_stride, "input_shape": list(input_shape),
+        }
+
+
+@register_model
+class DSCNNTrainer(FlaxTrainer):
+    """Depthwise-separable CNN with BatchNorm — the standard keyword-spotting
+    edge architecture. Exercises every generated C kernel (dwconv2d,
+    avgpool2d, batchnorm, 1x1 valid conv; reference model_to_c.py:98-323)."""
+
+    name = "ds_cnn"
+
+    def __init__(self, filters=None, first_stride: int = 2, pool: str = "avg",
+                 batch_norm: bool = True, **kwargs):
+        super().__init__(**kwargs)
+        self.filters = list(filters) if filters else [32, 32, 64]
+        self.first_stride = first_stride
+        self.pool = pool
+        self.batch_norm = batch_norm
+
+    def _architecture_params(self) -> dict:
+        return {"filters": self.filters, "first_stride": self.first_stride,
+                "pool": self.pool, "batch_norm": self.batch_norm}
+
+    def _prepare_input(self, X: np.ndarray) -> np.ndarray:
+        if X.ndim == 2:
+            return X[:, :, np.newaxis]
+        if X.ndim == 3:
+            return X[:, :, :, np.newaxis]
+        return X
+
+    def _arch(self, input_shape, n_classes):
+        return {
+            "type": "ds_cnn", "filters": list(self.filters), "dropout": self.dropout,
+            "n_classes": n_classes, "first_stride": self.first_stride,
+            "pool": self.pool, "batch_norm": self.batch_norm,
+            "input_shape": list(input_shape),
         }
 
 
@@ -875,9 +974,9 @@ class DistillationCNNTrainer(FlaxTrainer):
             self._teacher_logits = None
         return super().fit(X_train, y_train, X_val, y_val, label_names, run_name, output_dir, mlflow_run, epoch_callback)
 
-    def _make_train_step(self, module, optimizer):
+    def _make_train_step(self, module, optimizer, mutable_cols: tuple[str, ...] = ()):
         if self._teacher_logits is None:
-            return super()._make_train_step(module, optimizer)
+            return super()._make_train_step(module, optimizer, mutable_cols)
         T, alpha = self.temperature, self.alpha
         # device-resident teacher logits, gathered per batch by the same idx
         # the student batch uses (closure constant; (N, C) is small)
@@ -898,12 +997,12 @@ class DistillationCNNTrainer(FlaxTrainer):
             return loss, acc
 
         @jax.jit
-        def train_step(params, opt_state, X_full, y_full, idx, w, rng):
+        def train_step(params, cols, opt_state, X_full, y_full, idx, w, rng):
             (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, X_full, y_full, idx, w, rng
             )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss, acc
+            return params, cols, opt_state, loss, acc
 
         return train_step

@@ -48,7 +48,7 @@ def spec_data():
 def test_registry_names():
     names = list_models()
     for expected in [
-        "mlp", "cnn", "rnn", "transformer", "efficientnet_teacher", "distillation_cnn",
+        "mlp", "cnn", "ds_cnn", "rnn", "transformer", "efficientnet_teacher", "distillation_cnn",
         "svm", "lda", "decision_tree", "random_forest", "knn", "kmeans",
         "pca_svm", "pca_lda", "pca_knn",
     ]:
@@ -123,7 +123,7 @@ def test_kmeans(flat_data, tmp_path):
     assert purity / len(yva) > 0.8
 
 
-@pytest.mark.parametrize("name", ["mlp", "cnn", "rnn", "transformer"])
+@pytest.mark.parametrize("name", ["mlp", "cnn", "ds_cnn", "rnn", "transformer"])
 def test_deep_trainers(name, flat_data, spec_data, tmp_path):
     if name in ("mlp",):
         Xtr, ytr, Xva, yva = flat_data
@@ -131,6 +131,9 @@ def test_deep_trainers(name, flat_data, spec_data, tmp_path):
     elif name == "cnn":
         Xtr, ytr, Xva, yva = spec_data
         kw = {"filters": [8, 16]}
+    elif name == "ds_cnn":
+        Xtr, ytr, Xva, yva = spec_data
+        kw = {"filters": [8, 16], "first_stride": 1, "pool": "avg"}
     elif name == "rnn":
         Xtr, ytr, Xva, yva = spec_data  # (16, 32) treated as (T=16, D=32)
         kw = {"units": 16}
