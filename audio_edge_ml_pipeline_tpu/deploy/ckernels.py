@@ -13,16 +13,40 @@ ML_KERNELS_H = """\
 
 #include <stddef.h>
 
+/* NHWC float32 kernel library. Explicit asymmetric zero padding (pt, pl)
+ * generalizes SAME (computed per layer at generation time) and VALID
+ * (pt = pl = 0). relu: 0 = linear, 1 = fused ReLU. */
 void ml_normalize(const float *x, float *y, size_t n, const float *mean,
                   const float *inv_std, size_t c);
-void ml_conv2d_relu(const float *x, float *y, const float *w, const float *b,
-                    int h, int wdt, int cin, int cout, int kh, int kw,
-                    int sh, int sw, int pt, int pl, int oh, int ow);
+void ml_conv2d(const float *x, float *y, const float *w, const float *b,
+               int h, int wdt, int cin, int cout, int kh, int kw,
+               int sh, int sw, int pt, int pl, int oh, int ow, int relu);
+void ml_dwconv2d(const float *x, float *y, const float *w, const float *b,
+                 int h, int wdt, int c, int kh, int kw,
+                 int sh, int sw, int pt, int pl, int oh, int ow, int relu);
 void ml_maxpool2d(const float *x, float *y, int h, int w, int c,
                   int kh, int kw, int sh, int sw, int oh, int ow);
+void ml_avgpool2d(const float *x, float *y, int h, int w, int c,
+                  int kh, int kw, int sh, int sw, int oh, int ow);
 void ml_gap2d(const float *x, float *y, int h, int w, int c);
+void ml_batchnorm(const float *x, float *y, int n_pix, int c,
+                  const float *scale, const float *shift, int relu);
 void ml_dense(const float *x, float *y, const float *w, const float *b,
               int in_dim, int out_dim, int activation); /* 0=linear 1=relu 2=softmax */
+void ml_quant_dequant(const float *x, float *y, size_t n, float lo, float scale);
+
+/* int8 weight variants: weights live in flash as int8 with one per-tensor
+ * scale (Stage-6 dynamic/static_int8 artifacts deployed without a float
+ * re-materialization — the reference folds DequantizeLinear instead,
+ * onnx_to_c.py:259-274; keeping q8 weights saves 4x flash). */
+void ml_conv2d_q8(const float *x, float *y, const signed char *w, float wscale,
+                  const float *b, int h, int wdt, int cin, int cout, int kh, int kw,
+                  int sh, int sw, int pt, int pl, int oh, int ow, int relu);
+void ml_dwconv2d_q8(const float *x, float *y, const signed char *w, float wscale,
+                    const float *b, int h, int wdt, int c, int kh, int kw,
+                    int sh, int sw, int pt, int pl, int oh, int ow, int relu);
+void ml_dense_q8(const float *x, float *y, const signed char *w, float wscale,
+                 const float *b, int in_dim, int out_dim, int activation);
 
 #endif
 """
@@ -39,10 +63,10 @@ void ml_normalize(const float *x, float *y, size_t n, const float *mean,
 }
 
 /* NHWC activations, HWIO weights (kh, kw, cin, cout); explicit asymmetric
- * padding (pt, pl) with zeros outside. ReLU fused. */
-void ml_conv2d_relu(const float *x, float *y, const float *w, const float *b,
-                    int h, int wdt, int cin, int cout, int kh, int kw,
-                    int sh, int sw, int pt, int pl, int oh, int ow) {
+ * padding (pt, pl) with zeros outside. */
+void ml_conv2d(const float *x, float *y, const float *w, const float *b,
+               int h, int wdt, int cin, int cout, int kh, int kw,
+               int sh, int sw, int pt, int pl, int oh, int ow, int relu) {
     for (int oy = 0; oy < oh; ++oy) {
         for (int ox = 0; ox < ow; ++ox) {
             for (int oc = 0; oc < cout; ++oc) {
@@ -60,7 +84,86 @@ void ml_conv2d_relu(const float *x, float *y, const float *w, const float *b,
                         }
                     }
                 }
-                y[((size_t)oy * ow + ox) * cout + oc] = acc > 0.0f ? acc : 0.0f;
+                if (relu && acc < 0.0f) acc = 0.0f;
+                y[((size_t)oy * ow + ox) * cout + oc] = acc;
+            }
+        }
+    }
+}
+
+/* depthwise conv: one filter per channel, weights (kh, kw, 1, c) */
+void ml_dwconv2d(const float *x, float *y, const float *w, const float *b,
+                 int h, int wdt, int c, int kh, int kw,
+                 int sh, int sw, int pt, int pl, int oh, int ow, int relu) {
+    for (int oy = 0; oy < oh; ++oy) {
+        for (int ox = 0; ox < ow; ++ox) {
+            for (int ch = 0; ch < c; ++ch) {
+                float acc = b ? b[ch] : 0.0f;
+                for (int ky = 0; ky < kh; ++ky) {
+                    int iy = oy * sh - pt + ky;
+                    if (iy < 0 || iy >= h) continue;
+                    for (int kx = 0; kx < kw; ++kx) {
+                        int ix = ox * sw - pl + kx;
+                        if (ix < 0 || ix >= wdt) continue;
+                        acc += x[((size_t)iy * wdt + ix) * c + ch]
+                             * w[((size_t)ky * kw + kx) * c + ch];
+                    }
+                }
+                if (relu && acc < 0.0f) acc = 0.0f;
+                y[((size_t)oy * ow + ox) * c + ch] = acc;
+            }
+        }
+    }
+}
+
+void ml_conv2d_q8(const float *x, float *y, const signed char *w, float wscale,
+                  const float *b, int h, int wdt, int cin, int cout, int kh, int kw,
+                  int sh, int sw, int pt, int pl, int oh, int ow, int relu) {
+    for (int oy = 0; oy < oh; ++oy) {
+        for (int ox = 0; ox < ow; ++ox) {
+            for (int oc = 0; oc < cout; ++oc) {
+                float acc = 0.0f;
+                for (int ky = 0; ky < kh; ++ky) {
+                    int iy = oy * sh - pt + ky;
+                    if (iy < 0 || iy >= h) continue;
+                    for (int kx = 0; kx < kw; ++kx) {
+                        int ix = ox * sw - pl + kx;
+                        if (ix < 0 || ix >= wdt) continue;
+                        const float *xp = x + ((size_t)iy * wdt + ix) * cin;
+                        const signed char *wp = w + (((size_t)ky * kw + kx) * cin) * cout + oc;
+                        for (int ic = 0; ic < cin; ++ic) {
+                            acc += xp[ic] * (float)wp[(size_t)ic * cout];
+                        }
+                    }
+                }
+                acc = acc * wscale + (b ? b[oc] : 0.0f);
+                if (relu && acc < 0.0f) acc = 0.0f;
+                y[((size_t)oy * ow + ox) * cout + oc] = acc;
+            }
+        }
+    }
+}
+
+void ml_dwconv2d_q8(const float *x, float *y, const signed char *w, float wscale,
+                    const float *b, int h, int wdt, int c, int kh, int kw,
+                    int sh, int sw, int pt, int pl, int oh, int ow, int relu) {
+    for (int oy = 0; oy < oh; ++oy) {
+        for (int ox = 0; ox < ow; ++ox) {
+            for (int ch = 0; ch < c; ++ch) {
+                float acc = 0.0f;
+                for (int ky = 0; ky < kh; ++ky) {
+                    int iy = oy * sh - pt + ky;
+                    if (iy < 0 || iy >= h) continue;
+                    for (int kx = 0; kx < kw; ++kx) {
+                        int ix = ox * sw - pl + kx;
+                        if (ix < 0 || ix >= wdt) continue;
+                        acc += x[((size_t)iy * wdt + ix) * c + ch]
+                             * (float)w[((size_t)ky * kw + kx) * c + ch];
+                    }
+                }
+                acc = acc * wscale + (b ? b[ch] : 0.0f);
+                if (relu && acc < 0.0f) acc = 0.0f;
+                y[((size_t)oy * ow + ox) * c + ch] = acc;
             }
         }
     }
@@ -88,6 +191,31 @@ void ml_maxpool2d(const float *x, float *y, int h, int w, int c,
     }
 }
 
+/* average pool, VALID windows (all taps inside; partial cells skipped and
+ * the divisor counts only visited taps, matching flax avg_pool) */
+void ml_avgpool2d(const float *x, float *y, int h, int w, int c,
+                  int kh, int kw, int sh, int sw, int oh, int ow) {
+    for (int oy = 0; oy < oh; ++oy) {
+        for (int ox = 0; ox < ow; ++ox) {
+            for (int ch = 0; ch < c; ++ch) {
+                float acc = 0.0f;
+                int cnt = 0;
+                for (int ky = 0; ky < kh; ++ky) {
+                    int iy = oy * sh + ky;
+                    if (iy >= h) continue;
+                    for (int kx = 0; kx < kw; ++kx) {
+                        int ix = ox * sw + kx;
+                        if (ix >= w) continue;
+                        acc += x[((size_t)iy * w + ix) * c + ch];
+                        ++cnt;
+                    }
+                }
+                y[((size_t)oy * ow + ox) * c + ch] = cnt ? acc / (float)cnt : 0.0f;
+            }
+        }
+    }
+}
+
 void ml_gap2d(const float *x, float *y, int h, int w, int c) {
     for (int ch = 0; ch < c; ++ch) y[ch] = 0.0f;
     for (int i = 0; i < h * w; ++i) {
@@ -97,6 +225,31 @@ void ml_gap2d(const float *x, float *y, int h, int w, int c) {
     for (int ch = 0; ch < c; ++ch) y[ch] *= inv;
 }
 
+/* batch norm folded to per-channel affine at generation time:
+ * scale = gamma / sqrt(var + eps), shift = beta - mean * scale */
+void ml_batchnorm(const float *x, float *y, int n_pix, int c,
+                  const float *scale, const float *shift, int relu) {
+    for (int i = 0; i < n_pix; ++i) {
+        for (int ch = 0; ch < c; ++ch) {
+            float v = x[(size_t)i * c + ch] * scale[ch] + shift[ch];
+            if (relu && v < 0.0f) v = 0.0f;
+            y[(size_t)i * c + ch] = v;
+        }
+    }
+}
+
+/* static-int8 input emulation: quantize to the calibrated uint8 grid and
+ * dequantize back (the accuracy the Stage-6 report measured) */
+void ml_quant_dequant(const float *x, float *y, size_t n, float lo, float scale) {
+    for (size_t i = 0; i < n; ++i) {
+        float q = (x[i] - lo) / scale;
+        q = q < 0.0f ? 0.0f : (q > 255.0f ? 255.0f : q);
+        /* nearbyintf under the default FP env rounds half-to-even like
+         * np.round, matching the emulation the report's accuracy used */
+        y[i] = nearbyintf(q) * scale + lo;
+    }
+}
+
 void ml_dense(const float *x, float *y, const float *w, const float *b,
               int in_dim, int out_dim, int activation) {
     for (int o = 0; o < out_dim; ++o) {
@@ -104,6 +257,25 @@ void ml_dense(const float *x, float *y, const float *w, const float *b,
         const float *wp = w + o; /* weights (in_dim, out_dim) */
         for (int i = 0; i < in_dim; ++i) acc += x[i] * wp[(size_t)i * out_dim];
         y[o] = acc;
+    }
+    if (activation == 1) {
+        for (int o = 0; o < out_dim; ++o) y[o] = y[o] > 0.0f ? y[o] : 0.0f;
+    } else if (activation == 2) {
+        float mx = y[0];
+        for (int o = 1; o < out_dim; ++o) if (y[o] > mx) mx = y[o];
+        float sum = 0.0f;
+        for (int o = 0; o < out_dim; ++o) { y[o] = expf(y[o] - mx); sum += y[o]; }
+        for (int o = 0; o < out_dim; ++o) y[o] /= sum;
+    }
+}
+
+void ml_dense_q8(const float *x, float *y, const signed char *w, float wscale,
+                 const float *b, int in_dim, int out_dim, int activation) {
+    for (int o = 0; o < out_dim; ++o) {
+        float acc = 0.0f;
+        const signed char *wp = w + o; /* weights (in_dim, out_dim) */
+        for (int i = 0; i < in_dim; ++i) acc += x[i] * (float)wp[(size_t)i * out_dim];
+        y[o] = acc * wscale + (b ? b[o] : 0.0f);
     }
     if (activation == 1) {
         for (int o = 0; o < out_dim; ++o) y[o] = y[o] > 0.0f ? y[o] : 0.0f;

@@ -21,7 +21,6 @@ from typing import Optional
 
 import numpy as np
 
-from ..models.deep import load_model_bundle
 from ..ops.golden import librosa_ref as golden
 from . import ckernels
 from .arena import ArenaEstimator, LayerCost
@@ -75,6 +74,14 @@ def _c_float_array(name: str, arr: np.ndarray, per_line: int = 8) -> str:
     return f"const float {name}[{len(flat)}] = {{\n    {body}\n}};\n"
 
 
+def _c_int8_array(name: str, arr: np.ndarray, per_line: int = 20) -> str:
+    flat = np.asarray(arr, dtype=np.int8).ravel()
+    vals = [str(int(v)) for v in flat]
+    lines = [", ".join(vals[i : i + per_line]) for i in range(0, len(vals), per_line)]
+    body = ",\n    ".join(lines)
+    return f"const signed char {name}[{len(flat)}] = {{\n    {body}\n}};\n"
+
+
 class ModelToC:
     """Generate C sources for one bundle.
 
@@ -95,8 +102,16 @@ class ModelToC:
         board: str = "nicla_vision",
         max_ram_kb: Optional[float] = 180.0,
     ) -> None:
+        from ..optimize.quantize import load_any_bundle
+
         self.bundle_path = Path(bundle_path)
-        self.arch, self.flat, self.norm_mean, self.norm_var = load_model_bundle(self.bundle_path)
+        # fp32 bundles and Stage-6 quantized artifacts both deploy: int8
+        # kernels stay int8 in flash (scale constants beside them); float16
+        # artifacts dequantize on load (reference folds DequantizeLinear,
+        # onnx_to_c.py:259-274)
+        self.arch, self.flat, self.norm_mean, self.norm_var, self.quant_mode, self.qstore = (
+            load_any_bundle(self.bundle_path)
+        )
         self.labels = list(labels)
         self.sample_rate = sample_rate
         self.n_mels = n_mels
@@ -119,57 +134,123 @@ class ModelToC:
     def _param(self, layer: str, kind: str) -> np.ndarray:
         return self.flat[f"p/{layer}/{kind}"]
 
+    def _is_q8(self, layer: str) -> bool:
+        return (
+            self.quant_mode in ("dynamic_int8", "static_int8")
+            and f"p/{layer}/kernel" in self.qstore
+        )
+
     def _build_plan(self) -> list[dict]:
         arch = self.arch
         kind = arch["type"]
         input_shape = tuple(arch["input_shape"])
         plan: list[dict] = []
+
+        def conv(name, layer, hwc, cout, k, stride, padding, dw=False, bn_layer=None):
+            """Append a conv (+ optional folded-BN) entry; returns out (H,W,C).
+            SAME pads computed here and passed explicitly; VALID = zero pads
+            (subsumes the reference's conv_same/conv_valid split)."""
+            H, W, C = hwc
+            if padding == "same":
+                oh, ow = math.ceil(H / stride), math.ceil(W / stride)
+                pt = max((oh - 1) * stride + k - H, 0) // 2
+                pl = max((ow - 1) * stride + k - W, 0) // 2
+            else:  # valid
+                oh, ow = (H - k) // stride + 1, (W - k) // stride + 1
+                pt = pl = 0
+            out_c = C if dw else cout
+            plan.append({
+                "op": "dwconv2d" if dw else "conv2d", "name": name, "layer": layer,
+                "in_shape": (H, W, C), "out_shape": (oh, ow, out_c),
+                "k": k, "stride": stride, "pt": pt, "pl": pl,
+                "relu": 0 if bn_layer else 1,
+                "has_bias": f"p/{layer}/bias" in self.flat,
+            })
+            if bn_layer:
+                plan.append({
+                    "op": "batchnorm", "name": f"{name}_bn", "layer": bn_layer,
+                    "in_shape": (oh, ow, out_c), "out_shape": (oh, ow, out_c), "relu": 1,
+                })
+            return oh, ow, out_c
+
+        def pool(name, op, hwc):
+            H, W, C = hwc
+            plan.append({"op": op, "name": name, "in_shape": (H, W, C), "out_shape": (H // 2, W // 2, C)})
+            return H // 2, W // 2, C
+
+        def dense(name, layer, d_in, d_out, act):
+            plan.append({
+                "op": "dense", "name": name, "layer": layer, "act": act,
+                "in_shape": (d_in,), "out_shape": (d_out,),
+                "has_bias": f"p/{layer}/bias" in self.flat,
+            })
+
         if kind in ("cnn", "distillation_cnn"):
             if len(input_shape) == 2:
                 input_shape = (*input_shape, 1)
-            H, W, C = input_shape
-            plan.append({"op": "normalize", "name": "normalize", "in_shape": (H, W, C), "out_shape": (H, W, C)})
-            filters = arch["filters"]
-            for i, f in enumerate(filters):
+            hwc = input_shape
+            plan.append({"op": "normalize", "name": "normalize", "in_shape": hwc, "out_shape": hwc})
+            for i, f in enumerate(arch["filters"]):
                 s = arch.get("first_stride", 1) if i == 0 else (arch.get("second_stride", 1) if i == 1 else 1)
-                oh, ow = math.ceil(H / s), math.ceil(W / s)
-                pad_h = max((oh - 1) * s + 3 - H, 0)
-                pad_w = max((ow - 1) * s + 3 - W, 0)
-                plan.append(
-                    {
-                        "op": "conv2d_relu", "name": f"conv{i}", "layer": f"Conv_{i}",
-                        "in_shape": (H, W, C), "out_shape": (oh, ow, f),
-                        "stride": s, "pt": pad_h // 2, "pl": pad_w // 2,
-                    }
+                hwc = conv(f"conv{i}", f"Conv_{i}", hwc, f, 3, s, "same")
+                strided = (i == 0 and arch.get("first_stride", 1) > 1) or (
+                    i == 1 and arch.get("second_stride", 1) > 1
                 )
-                H, W, C = oh, ow, f
-                strided = (i == 0 and arch.get("first_stride", 1) > 1) or (i == 1 and arch.get("second_stride", 1) > 1)
                 if not strided:
-                    oh, ow = H // 2, W // 2
-                    plan.append({"op": "maxpool2d", "name": f"pool{i}", "in_shape": (H, W, C), "out_shape": (oh, ow, C)})
-                    H, W = oh, ow
-            plan.append({"op": "gap2d", "name": "gap", "in_shape": (H, W, C), "out_shape": (C,)})
+                    hwc = pool(f"pool{i}", "maxpool2d", hwc)
+            plan.append({"op": "gap2d", "name": "gap", "in_shape": hwc, "out_shape": (hwc[2],)})
             d0 = self._param("Dense_0", "kernel").shape[1]
-            plan.append({"op": "dense", "name": "dense0", "layer": "Dense_0", "act": 1,
-                         "in_shape": (C,), "out_shape": (d0,)})
-            plan.append({"op": "dense", "name": "head", "layer": "Dense_1", "act": 2,
-                         "in_shape": (d0,), "out_shape": (arch["n_classes"],)})
+            dense("dense0", "Dense_0", hwc[2], d0, act=1)
+            dense("head", "Dense_1", d0, arch["n_classes"], act=2)
+        elif kind == "ds_cnn":
+            if len(input_shape) == 2:
+                input_shape = (*input_shape, 1)
+            hwc = input_shape
+            use_bn = arch.get("batch_norm", True)
+            plan.append({"op": "normalize", "name": "normalize", "in_shape": hwc, "out_shape": hwc})
+            conv_i = 0
+
+            def bn_name():
+                return f"BatchNorm_{conv_i}" if use_bn else None
+
+            filters = arch["filters"]
+            hwc = conv("stem", f"Conv_{conv_i}", hwc, filters[0], 3,
+                       arch.get("first_stride", 2), "same", bn_layer=bn_name())
+            conv_i += 1
+            pool_kind = arch.get("pool", "avg")
+            if pool_kind in ("avg", "max"):
+                hwc = pool("pool0", "avgpool2d" if pool_kind == "avg" else "maxpool2d", hwc)
+            for b, f in enumerate(filters[1:]):
+                hwc = conv(f"dw{b}", f"Conv_{conv_i}", hwc, None, 3, 1, "same",
+                           dw=True, bn_layer=bn_name())
+                conv_i += 1
+                hwc = conv(f"pw{b}", f"Conv_{conv_i}", hwc, f, 1, 1, "valid", bn_layer=bn_name())
+                conv_i += 1
+            plan.append({"op": "gap2d", "name": "gap", "in_shape": hwc, "out_shape": (hwc[2],)})
+            dense("head", "Dense_0", hwc[2], arch["n_classes"], act=2)
         elif kind == "mlp":
             D = int(np.prod(input_shape))
             plan.append({"op": "normalize", "name": "normalize", "in_shape": (D,), "out_shape": (D,)})
-            hidden = arch["hidden_units"]
             prev = D
-            for i, h in enumerate(hidden):
-                plan.append({"op": "dense", "name": f"dense{i}", "layer": f"Dense_{i}", "act": 1,
-                             "in_shape": (prev,), "out_shape": (h,)})
+            for i, h in enumerate(arch["hidden_units"]):
+                dense(f"dense{i}", f"Dense_{i}", prev, h, act=1)
                 prev = h
-            plan.append({"op": "dense", "name": "head", "layer": f"Dense_{len(hidden)}", "act": 2,
-                         "in_shape": (prev,), "out_shape": (arch["n_classes"],)})
+            dense("head", f"Dense_{len(arch['hidden_units'])}", prev, arch["n_classes"], act=2)
         else:
             raise ValueError(
-                f"Codegen supports mlp/cnn/distillation_cnn bundles; got {kind!r} "
+                f"Codegen supports mlp/cnn/distillation_cnn/ds_cnn bundles; got {kind!r} "
                 "(sequence models are not deployable to the C runtime, as in the reference)."
             )
+
+        # static-int8 input emulation runs first (the calibrated uint8 grid
+        # the Stage-6 accuracy was measured on; _InputQuantWrapper semantics)
+        if self.quant_mode == "static_int8" and arch.get("input_range"):
+            lo, hi = (float(v) for v in arch["input_range"])
+            first = plan[0]["in_shape"]
+            plan.insert(0, {
+                "op": "quant_dequant", "name": "in_q", "in_shape": first, "out_shape": first,
+                "lo": lo, "scale": max((hi - lo) / 255.0, 1e-12),
+            })
         return plan
 
     # ------------------------------------------------------------------
@@ -215,6 +296,7 @@ class ModelToC:
                 {
                     "bundle": str(self.bundle_path),
                     "arch": self.arch["type"],
+                    "quantization": self.quant_mode,
                     "board": self.board,
                     "labels": self.labels,
                     "arena_peak_kb": self.arena.peak_bytes / 1024,
@@ -253,32 +335,61 @@ class ModelToC:
             + _c_float_array("feat_mel_fb", fb)
         )
 
-    def _weight_tensors(self) -> list[tuple[str, np.ndarray]]:
-        tensors = []
+    _BN_EPS = 1e-5  # flax nn.BatchNorm epsilon (models/deep.py DSCNNModule)
+
+    def _weight_tensors(self) -> list[dict]:
+        """Flash-resident tensors as {name, arr, ctype: 'f32'|'q8', scale}.
+        int8-mode kernels keep their quantized bytes + per-tensor scale;
+        biases and BN affines are always float (dequantized on load)."""
+        tensors: list[dict] = []
+
+        def add(name, arr, layer_kernel_key=None):
+            if layer_kernel_key is not None and layer_kernel_key in self.qstore and \
+                    self.quant_mode in ("dynamic_int8", "static_int8"):
+                q, scale = self.qstore[layer_kernel_key]
+                tensors.append({"name": name, "arr": q, "ctype": "q8", "scale": scale})
+            else:
+                tensors.append({"name": name, "arr": arr, "ctype": "f32"})
+
         for p in self.plan:
-            if p["op"] == "conv2d_relu":
-                tensors.append((f"wt_{p['name']}_k", self._param(p["layer"], "kernel")))
-                tensors.append((f"wt_{p['name']}_b", self._param(p["layer"], "bias")))
-            elif p["op"] == "dense":
-                tensors.append((f"wt_{p['name']}_k", self._param(p["layer"], "kernel")))
-                tensors.append((f"wt_{p['name']}_b", self._param(p["layer"], "bias")))
-        mean = np.asarray(self.norm_mean).ravel()
+            if p["op"] in ("conv2d", "dwconv2d", "dense"):
+                add(f"wt_{p['name']}_k", self._param(p["layer"], "kernel"),
+                    layer_kernel_key=f"p/{p['layer']}/kernel")
+                if p.get("has_bias"):
+                    add(f"wt_{p['name']}_b", self._param(p["layer"], "bias"))
+            elif p["op"] == "batchnorm":
+                L = p["layer"]
+                gamma, beta = self._param(L, "scale"), self._param(L, "bias")
+                mu = self.flat[f"c/batch_stats/{L}/mean"]
+                var = self.flat[f"c/batch_stats/{L}/var"]
+                bn_scale = gamma / np.sqrt(var + self._BN_EPS)
+                add(f"wt_{p['name']}_scale", bn_scale)
+                add(f"wt_{p['name']}_shift", beta - mu * bn_scale)
+        norm_mean = np.asarray(self.norm_mean).ravel()
         inv_std = 1.0 / np.sqrt(np.asarray(self.norm_var).ravel() + 1e-6)
-        tensors.append(("wt_norm_mean", mean))
-        tensors.append(("wt_norm_inv_std", inv_std))
+        add("wt_norm_mean", norm_mean)
+        add("wt_norm_inv_std", inv_std)
         return tensors
 
     def _gen_weights_h(self) -> str:
         lines = ["#ifndef WEIGHTS_H", "#define WEIGHTS_H", ""]
-        for name, arr in self._weight_tensors():
-            lines.append(f"extern const float {name}[{np.asarray(arr).size}];")
+        for t in self._weight_tensors():
+            if t["ctype"] == "q8":
+                lines.append(f"extern const signed char {t['name']}[{np.asarray(t['arr']).size}];")
+                lines.append(f"extern const float {t['name']}_scale;")
+            else:
+                lines.append(f"extern const float {t['name']}[{np.asarray(t['arr']).size}];")
         lines += ["", "#endif", ""]
         return "\n".join(lines)
 
     def _gen_weights_c(self) -> str:
         parts = ['#include "weights.h"\n\n/* model weights in flash (HWIO conv layout) */\n']
-        for name, arr in self._weight_tensors():
-            parts.append(_c_float_array(name, arr))
+        for t in self._weight_tensors():
+            if t["ctype"] == "q8":
+                parts.append(_c_int8_array(t["name"], t["arr"]))
+                parts.append(f"const float {t['name']}_scale = {_c_float(t['scale'])};\n")
+            else:
+                parts.append(_c_float_array(t["name"], t["arr"]))
         return "\n".join(parts)
 
     def _gen_labels_h(self) -> str:
@@ -322,31 +433,63 @@ class ModelToC:
         ]
         for p in self.plan:
             in_shape, out_shape = p["in_shape"], p["out_shape"]
+            name = p["name"]
+            q8 = p["op"] in ("conv2d", "dwconv2d", "dense") and self._is_q8(p.get("layer", ""))
+            bias = f"wt_{name}_b" if p.get("has_bias") else "0"
             if p["op"] == "normalize":
                 c = in_shape[-1]
                 n = int(np.prod(in_shape))
                 lines.append(f"    ml_normalize(cur, nxt, {n}, wt_norm_mean, wt_norm_inv_std, {c});")
-            elif p["op"] == "conv2d_relu":
+            elif p["op"] == "quant_dequant":
+                n = int(np.prod(in_shape))
+                lines.append(
+                    f"    ml_quant_dequant(cur, nxt, {n}, {_c_float(p['lo'])}, {_c_float(p['scale'])});"
+                )
+            elif p["op"] == "conv2d":
                 h, w, cin = in_shape
                 oh, ow, cout = out_shape
-                s = p["stride"]
+                k, s = p["k"], p["stride"]
+                geom = f"{h}, {w}, {cin}, {cout}, {k}, {k}, {s}, {s}, {p['pt']}, {p['pl']}, {oh}, {ow}, {p['relu']}"
+                if q8:
+                    lines.append(f"    ml_conv2d_q8(cur, nxt, wt_{name}_k, wt_{name}_k_scale, {bias}, {geom});")
+                else:
+                    lines.append(f"    ml_conv2d(cur, nxt, wt_{name}_k, {bias}, {geom});")
+            elif p["op"] == "dwconv2d":
+                h, w, c = in_shape
+                oh, ow, _ = out_shape
+                k, s = p["k"], p["stride"]
+                geom = f"{h}, {w}, {c}, {k}, {k}, {s}, {s}, {p['pt']}, {p['pl']}, {oh}, {ow}, {p['relu']}"
+                if q8:
+                    lines.append(f"    ml_dwconv2d_q8(cur, nxt, wt_{name}_k, wt_{name}_k_scale, {bias}, {geom});")
+                else:
+                    lines.append(f"    ml_dwconv2d(cur, nxt, wt_{name}_k, {bias}, {geom});")
+            elif p["op"] == "batchnorm":
+                h, w, c = in_shape
                 lines.append(
-                    f"    ml_conv2d_relu(cur, nxt, wt_{p['name']}_k, wt_{p['name']}_b, "
-                    f"{h}, {w}, {cin}, {cout}, 3, 3, {s}, {s}, {p['pt']}, {p['pl']}, {oh}, {ow});"
+                    f"    ml_batchnorm(cur, nxt, {h * w}, {c}, wt_{name}_scale, wt_{name}_shift, {p['relu']});"
                 )
             elif p["op"] == "maxpool2d":
                 h, w, c = in_shape
                 oh, ow, _ = out_shape
                 lines.append(f"    ml_maxpool2d(cur, nxt, {h}, {w}, {c}, 2, 2, 2, 2, {oh}, {ow});")
+            elif p["op"] == "avgpool2d":
+                h, w, c = in_shape
+                oh, ow, _ = out_shape
+                lines.append(f"    ml_avgpool2d(cur, nxt, {h}, {w}, {c}, 2, 2, 2, 2, {oh}, {ow});")
             elif p["op"] == "gap2d":
                 h, w, c = in_shape
                 lines.append(f"    ml_gap2d(cur, nxt, {h}, {w}, {c});")
             elif p["op"] == "dense":
                 (i_dim,), (o_dim,) = in_shape, out_shape
-                act = p["act"]
                 is_last = p is self.plan[-1]
                 dst = "scores" if is_last else "nxt"
-                lines.append(f"    ml_dense(cur, {dst}, wt_{p['name']}_k, wt_{p['name']}_b, {i_dim}, {o_dim}, {act});")
+                if q8:
+                    lines.append(
+                        f"    ml_dense_q8(cur, {dst}, wt_{name}_k, wt_{name}_k_scale, {bias}, "
+                        f"{i_dim}, {o_dim}, {p['act']});"
+                    )
+                else:
+                    lines.append(f"    ml_dense(cur, {dst}, wt_{name}_k, {bias}, {i_dim}, {o_dim}, {p['act']});")
                 if is_last:
                     lines.append("    return;")
                     continue

@@ -92,7 +92,10 @@ def main(argv=None) -> None:
         prog="python -m audio_edge_ml_pipeline_tpu.deploy.deploy",
         description="Stage 7 — generate a PlatformIO C project from a model bundle",
     )
-    p.add_argument("--model", required=True, help=".npz model bundle (model.flax.npz)")
+    p.add_argument("--model", default=None,
+                   help=".npz bundle (fp32 or Stage-6 quantized artifact); defaults to "
+                        "the --report's optimized_model_path so the selected quantized "
+                        "model is what ships (reference deploy.py:142-221)")
     p.add_argument("--output", required=True)
     p.add_argument("--labels", nargs="+", default=None)
     p.add_argument("--features-dir", default=None)
@@ -106,11 +109,21 @@ def main(argv=None) -> None:
     p.add_argument("--max-ram", type=float, default=180.0, help="arena budget in KB (0 disables the check)")
     args = p.parse_args(argv)
 
+    model_path = args.model
+    if not model_path:
+        if not args.report:
+            p.error("need --model, or --report with an optimized_model_path")
+        report = json.loads(Path(args.report).read_text())
+        model_path = report.get("optimized_model_path") or report.get("original_model_path")
+        if not model_path:
+            p.error(f"{args.report} has no optimized_model_path/original_model_path")
+        logger.info("Deploying the report's optimized artifact: %s", model_path)
+
     labels = load_labels(args)
     fp = resolve_feature_params(args)
     logger.info("Frontend params: %s", fp)
     gen = ModelToC(
-        args.model, labels,
+        model_path, labels,
         sample_rate=int(fp["sample_rate"]), n_mels=int(fp["n_mels"]), n_fft=int(fp["n_fft"]),
         hop_length=int(fp["hop_length"]), duration=float(fp["duration"]),
         board=args.board, max_ram_kb=(args.max_ram or None),

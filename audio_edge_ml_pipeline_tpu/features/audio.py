@@ -43,7 +43,9 @@ class AudioMelSpectrogram(BatchedAudioExtractor):
         self.backend = backend
         if backend == "pallas":
             # fused Pallas mel core (ops/pallas_mel.py); numerically
-            # equivalent, measured on par with the XLA conv path on v5e
+            # equivalent. bench.py A/B on v5e (B=4096, 5 s clips): XLA conv
+            # path 42.8k clips/s vs Pallas 40.8k -> xla stays the default;
+            # re-measured every round in BENCH_r*.json (mel_backend_winner)
             from ..ops.pallas_mel import mel_spec_feature_pallas
 
             interpret = jax.default_backend() not in ("tpu", "axon")

@@ -327,12 +327,18 @@ class FlaxTrainer(BaseTrainer):
     model_type = "deep"
 
     def __init__(self, epochs: int = 50, batch_size: int = 32, dropout: float = 0.3,
-                 learning_rate: float = 1e-3, seed: int = 0, **kwargs):
+                 learning_rate: float = 1e-3, seed: int = 0,
+                 data_parallel: Optional[int] = None, **kwargs):
         self.epochs = epochs
         self.batch_size = batch_size
         self.dropout = dropout
         self.learning_rate = learning_rate
         self.seed = seed
+        # data_parallel=N shards the batch axis over an N-device ("data",)
+        # mesh (SURVEY.md §2c: data parallelism as the first-class axis);
+        # exposed through the CLI as --param data_parallel=N
+        self.data_parallel = int(data_parallel) if data_parallel else 0
+        self._mesh = None
         self._extra = dict(kwargs)
         self._arch_dict: Optional[dict] = None
         self._params = None
@@ -366,6 +372,35 @@ class FlaxTrainer(BaseTrainer):
     def _normalize(self, x):
         return (x - self._norm_mean) / jnp.sqrt(self._norm_var + 1e-6)
 
+    # -- data-parallel sharding helpers -------------------------------------
+
+    def _batch_sharding(self, ndim: int):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(self._mesh, P(*(("data",) + (None,) * (ndim - 1))))
+
+    def _put_batch(self, arr):
+        """Device placement for batch-major arrays: sharded over the data
+        mesh when data_parallel is active (rows padded to a multiple of the
+        axis size — pad rows are never indexed / weighted 0), else a plain
+        transfer."""
+        arr = np.asarray(arr)
+        if self._mesh is None:
+            return jnp.asarray(arr)
+        dp = self._mesh.shape["data"]
+        pad = (-len(arr)) % dp
+        if pad:
+            arr = np.concatenate([arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)])
+        return jax.device_put(arr, self._batch_sharding(arr.ndim))
+
+    def _constrain_batch(self, x):
+        """Inside jit: keep the gathered minibatch sharded over 'data' so
+        conv/matmul compute runs batch-parallel and XLA psums the loss/grads
+        (the collective layer of SURVEY.md §2c)."""
+        if self._mesh is None:
+            return x
+        return jax.lax.with_sharding_constraint(x, self._batch_sharding(x.ndim))
+
     def _adapt_normalization(self, X: np.ndarray) -> None:
         """Keras Normalization(axis=-1) semantics: per-last-axis-position
         mean/variance over every other axis (reference deep.py:131-134)."""
@@ -381,8 +416,8 @@ class FlaxTrainer(BaseTrainer):
         threaded through the step and updated when the module mutates them."""
 
         def loss_fn(params, cols, X_full, y_full, idx, w, rng):
-            x = jnp.take(X_full, idx, axis=0)
-            y = jnp.take(y_full, idx, axis=0)
+            x = self._constrain_batch(jnp.take(X_full, idx, axis=0))
+            y = self._constrain_batch(jnp.take(y_full, idx, axis=0))
             variables = {"params": params, **cols}
             if mutable_cols:
                 logits, new_cols = module.apply(
@@ -500,6 +535,13 @@ class FlaxTrainer(BaseTrainer):
             except Exception as exc:
                 logger.warning("Pretrained weight transfer failed (%s); training from scratch", exc)
 
+        self._mesh = None
+        if self.data_parallel and self.data_parallel > 1:
+            from ..parallel.mesh import get_mesh
+
+            self._mesh = get_mesh(self.data_parallel, model_parallel=1)
+            logger.info("[%s] data-parallel training over %d devices", self.name, self.data_parallel)
+
         optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=self.learning_rate)
         opt_state = optimizer.init(params)
         cols = {k: dict(v) if hasattr(v, "items") else v for k, v in self._collections.items()}
@@ -507,6 +549,9 @@ class FlaxTrainer(BaseTrainer):
 
         n = len(X_train)
         bs = min(self.batch_size, max(n, 1))
+        if self._mesh is not None:
+            # minibatches must split evenly over the data axis
+            bs = -(-bs // self.data_parallel) * self.data_parallel
         steps = max(1, -(-n // bs))
         best_val_loss = float("inf")
         best_params = params
@@ -543,12 +588,13 @@ class FlaxTrainer(BaseTrainer):
                 np_rng = np.random.default_rng(self.seed + start_epoch)
                 logger.info("[%s] resumed from %s at epoch %d", self.name, ckpt_path, start_epoch)
 
-        # datasets move to device once; steps ship only index vectors
-        X_train_d = jnp.asarray(X_train)
-        y_train_d = jnp.asarray(y_train)
+        # datasets move to device once (batch-sharded over the data mesh when
+        # data_parallel is on); steps ship only index vectors
+        X_train_d = self._put_batch(X_train)
+        y_train_d = self._put_batch(y_train)
         n_val = len(X_val)
         val_pad = (-n_val) % self.batch_size
-        X_val_d = jnp.asarray(
+        X_val_d = self._put_batch(
             np.concatenate([X_val, np.zeros((val_pad,) + X_val.shape[1:], X_val.dtype)]) if val_pad else X_val
         )
 

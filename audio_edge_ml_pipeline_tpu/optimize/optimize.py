@@ -259,11 +259,14 @@ def main(argv=None) -> None:
             X_eval, y_eval = _load_eval_set(features_eval, label_names, class_filter, run_label)
 
         try:
-            report = _optimize_one(
-                candidate, X, y, label_names, output_dir,
-                args.max_accuracy_drop, args.target_device, use_tracking,
-                X_eval=X_eval, y_eval=y_eval,
-            )
+            from ..utils.profiling import stage_timer
+
+            with stage_timer(f"optimize:{run_label}"):
+                report = _optimize_one(
+                    candidate, X, y, label_names, output_dir,
+                    args.max_accuracy_drop, args.target_device, use_tracking,
+                    X_eval=X_eval, y_eval=y_eval,
+                )
             if report:
                 reports.append(report)
         except Exception as exc:
@@ -272,6 +275,9 @@ def main(argv=None) -> None:
     if not reports:
         logger.error("No optimization reports produced.")
         sys.exit(1)
+    from ..utils.profiling import log_timing_report
+
+    log_timing_report()
     logger.info("Optimized %d model(s) -> %s", len(reports), output_dir)
 
 

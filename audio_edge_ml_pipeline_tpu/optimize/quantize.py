@@ -156,10 +156,18 @@ def _quantize_deep_bundle(model_path: Path, mode: str, out_path: Path, calib_X: 
             store[k] = arr.astype(np.float16)  # container proxy: 2 bytes/elem
         else:
             raise ValueError(mode)
+    meta = {**arch, "quantization": mode}
+    if mode == "static_int8":
+        if calib_X is None or len(calib_X) == 0:
+            raise ValueError("static_int8 requires calibration data")
+        calib = np.asarray(calib_X[:CALIBRATION_SAMPLES], dtype=np.float32)
+        # persisted so deployment can reproduce the calibrated input grid
+        # (the reference's static-int8 ONNX carries input scale/zp in-graph)
+        meta["input_range"] = [float(calib.min()), float(calib.max())]
     # materialize the quantized artifact (real on-disk size)
     np.savez(
         out_path,
-        __meta__=np.frombuffer(json.dumps({**arch, "quantization": mode}).encode(), dtype=np.uint8),
+        __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
         norm_mean=np.asarray(norm_mean), norm_var=np.asarray(norm_var),
         **{k.replace("!scale", ".scale"): v for k, v in store.items()},
     )
@@ -169,10 +177,7 @@ def _quantize_deep_bundle(model_path: Path, mode: str, out_path: Path, calib_X: 
     trainer = load_any_model(view_path)
     view_path.unlink()
     if mode == "static_int8":
-        if calib_X is None or len(calib_X) == 0:
-            raise ValueError("static_int8 requires calibration data")
-        calib = np.asarray(calib_X[:CALIBRATION_SAMPLES], dtype=np.float32)
-        trainer = _InputQuantWrapper(trainer, float(calib.min()), float(calib.max()))
+        trainer = _InputQuantWrapper(trainer, meta["input_range"][0], meta["input_range"][1])
     return trainer
 
 
@@ -180,6 +185,35 @@ def save_model_bundle_from_flat(path: Path, arch: dict, flat: dict, norm_mean, n
     from ..models.deep import save_model_bundle_flat
 
     save_model_bundle_flat(path, arch, flat, norm_mean, norm_var)
+
+
+def load_any_bundle(path: Path):
+    """Read either a plain fp32 bundle or a Stage-6 quantized artifact
+    (write side above / save_model_bundle_flat).
+
+    Returns ``(arch, flat_fp32, norm_mean, norm_var, mode, qstore)`` where
+    ``flat_fp32`` always carries float32 weights (int8/f16 tensors are
+    dequantized exactly as the evaluated view was) and ``qstore`` maps param
+    keys to ``(int8_array, scale)`` for int8 modes so codegen can keep the
+    quantized tensors in flash."""
+    data = np.load(Path(path), allow_pickle=False)
+    arch = json.loads(bytes(data["__meta__"].tobytes()).decode())
+    mode = arch.get("quantization", "fp32")
+    flat: dict[str, np.ndarray] = {}
+    qstore: dict[str, tuple[np.ndarray, float]] = {}
+    for key in data.files:
+        if not key.startswith(("p/", "c/")) or key.endswith(".scale"):
+            continue
+        arr = data[key]
+        if arr.dtype == np.int8:
+            scale = float(data[key + ".scale"])
+            flat[key] = (arr.astype(np.float64) * scale).astype(np.float32)
+            qstore[key] = (arr, scale)
+        elif arr.dtype == np.float16:
+            flat[key] = arr.astype(np.float32)
+        else:
+            flat[key] = arr
+    return arch, flat, data["norm_mean"], data["norm_var"], mode, qstore
 
 
 # ---------------------------------------------------------------------------

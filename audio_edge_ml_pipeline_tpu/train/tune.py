@@ -510,15 +510,19 @@ def main(argv=None) -> None:
         logger.error("no eligible runs (does the shortlist cover any configured model?)")
         sys.exit(1)
 
+    from ..utils.profiling import log_timing_report, stage_timer
+
     results = []
     for run_cfg in eligible:
         try:
-            outcome = _dispatch_run(run_cfg, study_cfg)
+            with stage_timer(f"tune:{run_cfg.get('name') or run_cfg.get('model')}"):
+                outcome = _dispatch_run(run_cfg, study_cfg)
         except Exception as exc:
             logger.error("run %r failed: %s", run_cfg.get("name") or run_cfg.get("model"), exc, exc_info=True)
             continue
         if outcome:
             results.append(outcome)
+    log_timing_report()
 
     if not results:
         logger.error("every tuning run failed")

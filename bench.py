@@ -70,28 +70,51 @@ def main() -> None:
     # 4096 -> 41.6k clips/s (diminishing past 4k; ~6.5 GB peak HBM)
     B = 4096
     waves = jax.device_put(jnp.asarray(np.tile(base, (B // len(base), 1))))
-    pipeline(params, waves).block_until_ready()  # compile
-    # steady-state: several timed iterations, take the best (device-resident)
-    best_dt = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        iters = 10
-        for _ in range(iters):
-            out = pipeline(params, waves)
-        out.block_until_ready()
-        best_dt = min(best_dt, (time.perf_counter() - t0) / iters)
-    clips_per_sec = B / best_dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "fsc22 mel+CNN clips/sec/chip",
-                "value": round(clips_per_sec, 1),
-                "unit": "clips/s",
-                "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 3),
-            }
+    def timed(fn, *args, iters=10, rounds=5):
+        fn(*args).block_until_ready()  # compile
+        best = float("inf")
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn(*args)
+            out.block_until_ready()
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
+
+    clips_per_sec = B / timed(pipeline, params, waves)
+
+    # extraction-only (the literal BASELINE.json north-star metric), plus the
+    # Pallas-vs-XLA A/B on the mel core (VERDICT r1 item 6)
+    extract_xla = jax.jit(lambda w: dsp.mel_spec_feature(w, sr=sr, n_mels=n_mels, n_fft=n_fft, hop_length=hop))
+    extraction_xla = B / timed(extract_xla, waves)
+    extraction_pallas = None
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu:
+        try:
+            from audio_edge_ml_pipeline_tpu.ops.pallas_mel import mel_spec_feature_pallas
+
+            extract_pl = jax.jit(
+                lambda w: mel_spec_feature_pallas(w, sr=sr, n_mels=n_mels, n_fft=n_fft, hop_length=hop)
+            )
+            extraction_pallas = B / timed(extract_pl, waves)
+        except Exception as exc:  # record the failure, don't sink the bench
+            extraction_pallas = f"failed: {exc}"
+
+    result = {
+        "metric": "fsc22 mel+CNN clips/sec/chip",
+        "value": round(clips_per_sec, 1),
+        "unit": "clips/s",
+        "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 3),
+        "extraction_only_xla_clips_per_sec": round(extraction_xla, 1),
+    }
+    if extraction_pallas is not None:
+        result["extraction_only_pallas_clips_per_sec"] = (
+            round(extraction_pallas, 1) if isinstance(extraction_pallas, float) else extraction_pallas
         )
-    )
+        if isinstance(extraction_pallas, float):
+            result["mel_backend_winner"] = "pallas" if extraction_pallas > extraction_xla else "xla"
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

