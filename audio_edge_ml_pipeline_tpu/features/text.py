@@ -143,8 +143,13 @@ def _hash_embed(text: str, dim: int) -> np.ndarray:
 @register
 class TextSentenceEmbedding(BaseFeatureExtractor):
     """384-d sentence embedding (all-MiniLM-L6-v2 contract, reference
-    text/deep.py:47-135). Uses a local HF model dir when provided; otherwise
-    the deterministic hashing projection documented above."""
+    text/deep.py:47-135). Three offline-graded backends:
+
+    1. a local HF model dir when provided (true MiniLM semantics);
+    2. corpus-fit **LSA** (TF-IDF -> TruncatedSVD -> L2 norm) on
+       ``extract_dataset`` — real distributional semantics without egress;
+    3. the deterministic hashing projection for unfitted single-sample use.
+    """
 
     name = "text_sentence_embed"
     feature_type = "deep"
@@ -155,6 +160,7 @@ class TextSentenceEmbedding(BaseFeatureExtractor):
         self.dim = dim
         self.local_model_dir = local_model_dir
         self._model = None
+        self._lsa = None  # (vectorizer, svd) after corpus fit
         if local_model_dir:
             try:
                 from transformers import AutoModel, AutoTokenizer
@@ -164,34 +170,94 @@ class TextSentenceEmbedding(BaseFeatureExtractor):
             except Exception:
                 self._model = None
 
+    def _hf_embed(self, text: str) -> np.ndarray:
+        import torch
+
+        with torch.no_grad():
+            toks = self._tok(text, return_tensors="pt", truncation=True, max_length=256)
+            out = self._model(**toks).last_hidden_state.mean(dim=1)[0]
+        emb = out.numpy().astype(np.float32)
+        n = np.linalg.norm(emb)
+        return emb / n if n > 0 else emb
+
+    def _pad_unit(self, rows: np.ndarray) -> np.ndarray:
+        """Zero-pad to the contract dim and L2-normalize rows."""
+        out = np.zeros((len(rows), self.dim), np.float32)
+        out[:, : rows.shape[1]] = rows
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        return out / np.where(norms > 0, norms, 1.0)
+
     def extract(self, sample_path, **kwargs) -> np.ndarray:
         text = _doc_text(sample_path, kwargs)
         if self._model is not None:
-            import torch
-
-            with torch.no_grad():
-                toks = self._tok(text, return_tensors="pt", truncation=True, max_length=256)
-                out = self._model(**toks).last_hidden_state.mean(dim=1)[0]
-            emb = out.numpy().astype(np.float32)
-            n = np.linalg.norm(emb)
-            return emb / n if n > 0 else emb
+            return self._hf_embed(text)
+        if self._lsa is not None:
+            vec, svd = self._lsa
+            return self._pad_unit(svd.transform(vec.transform([text])).astype(np.float32))[0]
         return _hash_embed(text, self.dim)
+
+    def extract_dataset(self, loader, max_samples=None):
+        if self._model is not None:
+            return super().extract_dataset(loader, max_samples=max_samples)
+        texts, labels, metas = [], [], []
+        label_to_idx: dict[str, int] = {}
+        for i, (path, label, meta) in enumerate(loader):
+            if max_samples is not None and i >= max_samples:
+                break
+            try:
+                texts.append(_doc_text(path, meta))
+            except Exception:
+                continue
+            metas.append(meta)
+            if label is not None:
+                if label not in label_to_idx:
+                    label_to_idx[label] = len(label_to_idx)
+                labels.append(label_to_idx[label])
+        if not texts:
+            raise RuntimeError("No features were successfully extracted.")
+        from sklearn.decomposition import TruncatedSVD
+        from sklearn.feature_extraction.text import TfidfVectorizer
+
+        vec = TfidfVectorizer(max_features=20000, ngram_range=(1, 2))
+        X = vec.fit_transform(texts)
+        k = min(self.dim, X.shape[0] - 1, X.shape[1] - 1)
+        if k >= 2:
+            svd = TruncatedSVD(n_components=k, random_state=42)
+            rows = svd.fit_transform(X).astype(np.float32)
+            self._lsa = (vec, svd)
+            feats = list(self._pad_unit(rows))
+        else:  # corpus too small for an SVD — hashing fallback
+            feats = [_hash_embed(t, self.dim) for t in texts]
+        return _collect(feats, labels, metas, label_to_idx, self.feature_type, self.modality)
 
 
 @register
 class TextBERTTokens(BaseFeatureExtractor):
     """Fixed-length token-id sequence (max_length,) (reference
-    text/deep.py:136-217). Local tokenizer when available; else a stable
-    hashed vocabulary with [CLS]=101 / [SEP]=102 / [PAD]=0 conventions."""
+    text/deep.py:136-217). Backends, best available first:
+
+    1. a local HF tokenizer dir (true BERT ids);
+    2. a corpus-fit frequency-ranked vocabulary built by
+       ``extract_dataset`` — ids are dense and stable (rank order), OOV
+       words fall into hash buckets above the fitted range;
+    3. pure hash-bucket ids for unfitted single-sample use.
+
+    All paths keep BERT framing conventions: [CLS]=101 / [SEP]=102 / [PAD]=0.
+    """
 
     name = "text_bert_tokens"
     feature_type = "deep"
     modality = "text"
 
-    def __init__(self, model_name: str = "bert-base-uncased", max_length: int = 128, local_model_dir: Optional[str] = None) -> None:
+    _ID_BASE = 1000  # first non-special id (mirrors BERT's reserved block)
+
+    def __init__(self, model_name: str = "bert-base-uncased", max_length: int = 128,
+                 vocab_size: int = 30522, local_model_dir: Optional[str] = None) -> None:
         self.model_name = model_name
         self.max_length = max_length
+        self.vocab_size = vocab_size
         self._tok = None
+        self._vocab: Optional[dict[str, int]] = None  # corpus-fit word -> id
         if local_model_dir:
             try:
                 from transformers import AutoTokenizer
@@ -200,16 +266,57 @@ class TextBERTTokens(BaseFeatureExtractor):
             except Exception:
                 self._tok = None
 
-    def extract(self, sample_path, **kwargs) -> np.ndarray:
-        text = _doc_text(sample_path, kwargs)
+    def _hash_id(self, tok: str) -> int:
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:4], "little")
+        if self._vocab is not None:
+            # OOV bucket range above the fitted vocabulary
+            lo = self._ID_BASE + len(self._vocab)
+            return lo + h % max(self.vocab_size - lo, 1)
+        return self._ID_BASE + h % (self.vocab_size - self._ID_BASE)
+
+    def _encode(self, text: str) -> np.ndarray:
         if self._tok is not None:
             ids = self._tok(text, truncation=True, max_length=self.max_length, padding="max_length")["input_ids"]
             return np.asarray(ids, dtype=np.int32)
-        vocab_size = 30522
         ids = [101]
         for tok in _TOKEN_RE.findall(text.lower())[: self.max_length - 2]:
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:4], "little")
-            ids.append(1000 + h % (vocab_size - 1000))
+            if self._vocab is not None and tok in self._vocab:
+                ids.append(self._vocab[tok])
+            else:
+                ids.append(self._hash_id(tok))
         ids.append(102)
         ids = ids[: self.max_length] + [0] * max(0, self.max_length - len(ids))
         return np.asarray(ids, dtype=np.int32)
+
+    def extract(self, sample_path, **kwargs) -> np.ndarray:
+        return self._encode(_doc_text(sample_path, kwargs))
+
+    def extract_dataset(self, loader, max_samples=None):
+        if self._tok is not None:
+            return super().extract_dataset(loader, max_samples=max_samples)
+        from collections import Counter
+
+        texts, labels, metas = [], [], []
+        label_to_idx: dict[str, int] = {}
+        counts: Counter = Counter()
+        for i, (path, label, meta) in enumerate(loader):
+            if max_samples is not None and i >= max_samples:
+                break
+            try:
+                text = _doc_text(path, meta)
+            except Exception:
+                continue
+            texts.append(text)
+            counts.update(_TOKEN_RE.findall(text.lower()))
+            metas.append(meta)
+            if label is not None:
+                if label not in label_to_idx:
+                    label_to_idx[label] = len(label_to_idx)
+                labels.append(label_to_idx[label])
+        if not texts:
+            raise RuntimeError("No features were successfully extracted.")
+        budget = max(self.vocab_size - self._ID_BASE - 1000, 1)  # keep an OOV bucket range
+        ranked = [w for w, _ in counts.most_common(budget)]
+        self._vocab = {w: self._ID_BASE + r for r, w in enumerate(ranked)}
+        feats = [self._encode(t) for t in texts]
+        return _collect(feats, labels, metas, label_to_idx, self.feature_type, self.modality)

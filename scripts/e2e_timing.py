@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""End-to-end pipeline timing: synth dataset -> extract train/val -> train
+sweep -> TPE tune -> quantization benchmark -> post-opt selection, each
+stage through its real CLI in a fresh subprocess (so every stage pays
+process-fresh jit and exercises the persistent compilation cache exactly
+like production use). Prints a stage table + one JSON line and writes
+e2e_timing.json into the workdir.
+
+The driver target (BASELINE.md row 3) is train->tune->optimize < 10 min on
+one chip. Shape discipline keeps that robust on a COLD compile cache: every
+shape-affecting hyperparameter (filters/strides/batch_size) is a small
+categorical whose values the train stage already compiled, so TPE trials
+only explore shape-free knobs (lr, dropout) and hit the cache; run
+`--cold` to clear the cache first and measure the worst case.
+
+Usage: python scripts/e2e_timing.py [--workdir /tmp/aep_e2e] [--cold]
+       [--classes 12] [--per-class 75] [--trials 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_stage(name: str, argv: list[str], cwd: Path, timings: dict) -> None:
+    t0 = time.perf_counter()
+    r = subprocess.run([sys.executable, *argv], cwd=cwd, text=True,
+                       stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    dt = time.perf_counter() - t0
+    timings[name] = round(dt, 1)
+    print(f"[{name:>22}] {dt:7.1f} s  rc={r.returncode}")
+    if r.returncode != 0:
+        print(r.stdout[-4000:])
+        raise SystemExit(f"stage {name} failed")
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--workdir", default="/tmp/aep_e2e")
+    p.add_argument("--cold", action="store_true", help="clear the persistent XLA cache first")
+    p.add_argument("--classes", type=int, default=12)
+    p.add_argument("--per-class", type=int, default=75)
+    p.add_argument("--trials", type=int, default=4)
+    args = p.parse_args()
+
+    work = Path(args.workdir)
+    if work.exists():
+        shutil.rmtree(work)
+    work.mkdir(parents=True)
+    cache_dir = work / "xla_cache" if args.cold else Path.home() / ".cache" / "aep_tpu_jax"
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = str(cache_dir)
+    if args.cold and cache_dir.exists():
+        shutil.rmtree(cache_dir)
+    existing = os.environ.get("PYTHONPATH", "")
+    if str(REPO) not in existing.split(os.pathsep):
+        # prepend the repo, keep the rest (the axon sitecustomize provides the TPU platform)
+        os.environ["PYTHONPATH"] = str(REPO) + (os.pathsep + existing if existing else "")
+
+    raw = work / "raw"
+    feats = work / "processed"
+    (work / "config").mkdir()
+
+    # one canonical device-CNN shape family: the train stage compiles it,
+    # every tune trial reuses it (filters/strides/batch fixed categorical)
+    cnn_shapes = {"filters": [16, 64, 64], "first_stride": 4, "second_stride": 2, "batch_size": 32}
+
+    extract_cfg = work / "extract.yaml"
+    extract_cfg.write_text(f"""
+dataset: {raw}/fsc22
+loader: fsc22
+experiments:
+  - name: mel_train
+    extractor: audio_mel_spec
+    split: train
+    output: {feats}/mel_train
+    extractor_params: {{sample_rate: 16000, n_mels: 40, n_fft: 512, hop_length: 160, duration: 5.0}}
+  - name: mel_val
+    extractor: audio_mel_spec
+    split: validation
+    output: {feats}/mel_val
+    extractor_params: {{sample_rate: 16000, n_mels: 40, n_fft: 512, hop_length: 160, duration: 5.0}}
+""")
+
+    train_cfg = work / "train.yaml"
+    train_cfg.write_text(f"""
+features_dir: {feats}/mel_train
+features_test_dir: {feats}/mel_val
+output_dir: {work}/models
+experiment: e2e-timing
+val_split: 0.2
+mlflow_uri: {work}/mlruns
+auto_select: true
+auto_select_top_n: 3
+runs:
+  - model: cnn
+    name: cnn_device
+    params:
+      filters: {cnn_shapes['filters']}
+      first_stride: {cnn_shapes['first_stride']}
+      second_stride: {cnn_shapes['second_stride']}
+      batch_size: {cnn_shapes['batch_size']}
+      epochs: 30
+      learning_rate: 0.001
+  - model: knn
+    params: {{n_neighbors: 5}}
+""")
+
+    tune_cfg = work / "tune.yaml"
+    tune_cfg.write_text(f"""
+output_dir: {work}/tuned
+experiment: e2e-timing-tune
+features_dir: {feats}/mel_train
+features_test: {feats}/mel_val
+mlflow_uri: {work}/mlruns
+n_trials: {args.trials}
+sweep_epochs: 10
+seed: 42
+pruner: median
+runs:
+  - model: cnn
+    search_space:
+      # shape-affecting knobs pinned to the train-stage-compiled family;
+      # TPE explores the shape-free continuous knobs
+      filters: [{cnn_shapes['filters']}]
+      first_stride: [{cnn_shapes['first_stride']}]
+      second_stride: [{cnn_shapes['second_stride']}]
+      batch_size: [{cnn_shapes['batch_size']}]
+      dropout: {{type: float, low: 0.1, high: 0.5}}
+      learning_rate: {{type: loguniform, low: 0.0005, high: 0.01}}
+""")
+
+    timings: dict = {}
+    t_all = time.perf_counter()
+    run_stage("synth dataset", ["tools/make_synth_dataset.py", str(raw),
+                                "--classes", str(args.classes), "--per-class", str(args.per_class)],
+              REPO, timings)
+    run_stage("extract train+val", ["-m", "audio_edge_ml_pipeline_tpu.features.pipeline",
+                                    "--config", str(extract_cfg)], work, timings)
+    run_stage("train (cnn+knn)", ["-m", "audio_edge_ml_pipeline_tpu.train.train",
+                                  "--config", str(train_cfg)], work, timings)
+    run_stage(f"tune ({args.trials} trials)", ["-m", "audio_edge_ml_pipeline_tpu.train.tune",
+                                               "--config", str(tune_cfg)], work, timings)
+    run_stage("optimize", ["-m", "audio_edge_ml_pipeline_tpu.optimize.optimize",
+                           "--shortlist", str(work / "tuned" / "shortlist.json"),
+                           "--output", str(work / "optimized"),
+                           "--mlflow-uri", str(work / "mlruns")], work, timings)
+    run_stage("select post-opt", ["-m", "audio_edge_ml_pipeline_tpu.train.select", "--post-opt",
+                                  "--shortlist", str(work / "tuned" / "shortlist.json"),
+                                  "--opt-dir", str(work / "optimized"),
+                                  "--output", str(work / "best_model.json")], work, timings)
+
+    core = sum(v for k, v in timings.items() if k.split(" ")[0] in ("train", "tune", "optimize"))
+    total = round(time.perf_counter() - t_all, 1)
+    summary = {
+        "timings_s": timings,
+        "train_tune_optimize_s": round(core, 1),
+        "train_tune_optimize_min": round(core / 60, 2),
+        "target_met": core < 600,
+        "total_s": total,
+        "cold_cache": args.cold,
+        "best_model": json.loads((work / "best_model.json").read_text()),
+    }
+    (work / "e2e_timing.json").write_text(json.dumps(summary, indent=2))
+    print(json.dumps({k: summary[k] for k in
+                      ("train_tune_optimize_min", "target_met", "cold_cache", "total_s")}))
+
+
+if __name__ == "__main__":
+    main()

@@ -214,6 +214,30 @@ def test_text_tabular_image_extractors(synth_root):
     toks = F.get("text_bert_tokens")(max_length=16).extract(None, text="hello world")
     assert toks.shape == (16,) and toks[0] == 101
 
+    # corpus-fit backends: LSA embeddings separate topics; the fitted
+    # vocabulary assigns dense frequency-ranked ids reused across documents
+    lsa = F.get("text_sentence_embed")()
+    fse = lsa.extract_dataset(TextCSVLoader(synth_root / "text.csv", text_col="text", label_col="label"))
+    assert fse.features.shape == (60, 384)
+    assert lsa._lsa is not None  # SVD actually fitted
+    np.testing.assert_allclose(np.linalg.norm(fse.features, axis=1), 1.0, atol=1e-5)
+    # same-class documents embed closer on average than cross-class
+    sims = fse.features @ fse.features.T
+    same = np.mean([sims[i, j] for i in range(60) for j in range(60)
+                    if i != j and fse.labels[i] == fse.labels[j]])
+    diff = np.mean([sims[i, j] for i in range(60) for j in range(60)
+                    if fse.labels[i] != fse.labels[j]])
+    assert same > diff
+
+    bt = F.get("text_bert_tokens")(max_length=16)
+    fsb = bt.extract_dataset(TextCSVLoader(synth_root / "text.csv", text_col="text", label_col="label"))
+    assert fsb.features.shape == (60, 16) and bt._vocab
+    # the most frequent corpus word gets the first dense id
+    top_word = next(w for w, i in bt._vocab.items() if i == bt._ID_BASE)
+    # fitted encode is deterministic and reuses ids across docs
+    a = bt.extract(None, text=f"{top_word} {top_word}")
+    assert a[1] == a[2] == bt._ID_BASE
+
     tab = TabularLoader(synth_root / "tabular.csv", label_col="label")
     fst = F.get("tabular_classical")().extract_dataset(tab)
     assert fst.n_classes == 3 and np.isfinite(fst.features).all()
