@@ -444,6 +444,31 @@ class FlaxTrainer(BaseTrainer):
 
         return train_step
 
+    def _make_epoch_runner(self, train_step):
+        """One jitted dispatch per EPOCH: lax.scan over the per-step updates
+        (train_step's traced computation inlines into the scan body). On a
+        tunneled/remote accelerator each dispatch is a ~25 ms round trip, so
+        steps-per-epoch dispatches per epoch dominate small-dataset training;
+        the scan collapses them to one."""
+
+        @jax.jit
+        def run_epoch(params, cols, opt_state, X_full, y_full, idx_mat, w_mat, rng):
+            def body(carry, xs):
+                params, cols, opt_state, rng = carry
+                idx, w = xs
+                rng, sub = jax.random.split(rng)
+                params, cols, opt_state, loss, acc = train_step(
+                    params, cols, opt_state, X_full, y_full, idx, w, sub
+                )
+                return (params, cols, opt_state, rng), jnp.stack([loss, acc])
+
+            (params, cols, opt_state, _), stats = jax.lax.scan(
+                body, (params, cols, opt_state, rng), (idx_mat, w_mat)
+            )
+            return params, cols, opt_state, jnp.mean(stats[:, 0]), jnp.mean(stats[:, 1])
+
+        return run_epoch
+
     def _make_eval_step(self, module):
         @jax.jit
         def eval_step(params, cols, x):
@@ -598,30 +623,23 @@ class FlaxTrainer(BaseTrainer):
             np.concatenate([X_val, np.zeros((val_pad,) + X_val.shape[1:], X_val.dtype)]) if val_pad else X_val
         )
 
+        run_epoch = self._make_epoch_runner(train_step)
         for epoch in range(start_epoch, self.epochs):
             perm = np_rng.permutation(n)
-            ep_loss = ep_acc = 0.0
             opt_state.hyperparams["learning_rate"] = jnp.asarray(current_lr, jnp.float32)
-            losses_accs = []
+            # (steps, bs) index/weight matrices; short last batch zero-weighted
+            idx_mat = np.zeros((steps, bs), np.int32)
+            w_mat = np.zeros((steps, bs), np.float32)
             for s in range(steps):
-                idx = perm[s * bs : (s + 1) * bs]
-                w = np.ones(len(idx), np.float32)
-                pad = bs - len(idx)
-                if pad:
-                    idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
-                    w = np.concatenate([w, np.zeros(pad, np.float32)])
-                rng, step_rng = jax.random.split(rng)
-                params, cols, opt_state, loss, acc = train_step(
-                    params, cols, opt_state, X_train_d, y_train_d,
-                    jnp.asarray(idx.astype(np.int32)), jnp.asarray(w), step_rng,
-                )
-                losses_accs.append((loss, acc))
-            # single sync point per epoch (loss/acc fetched together)
-            for loss, acc in losses_accs:
-                ep_loss += float(loss)
-                ep_acc += float(acc)
-            ep_loss /= steps
-            ep_acc /= steps
+                sl = perm[s * bs : (s + 1) * bs]
+                idx_mat[s, : len(sl)] = sl
+                w_mat[s, : len(sl)] = 1.0
+            rng, epoch_rng = jax.random.split(rng)
+            params, cols, opt_state, ep_loss, ep_acc = run_epoch(
+                params, cols, opt_state, X_train_d, y_train_d,
+                jnp.asarray(idx_mat), jnp.asarray(w_mat), epoch_rng,
+            )
+            ep_loss, ep_acc = float(ep_loss), float(ep_acc)
 
             # validation on device-resident batches (current epoch's stats)
             self._params = params

@@ -47,6 +47,7 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--workdir", default="/tmp/aep_e2e")
     p.add_argument("--cold", action="store_true", help="clear the persistent XLA cache first")
+    p.add_argument("--cache-dir", default=None, help="persistent XLA cache location override")
     p.add_argument("--classes", type=int, default=12)
     p.add_argument("--per-class", type=int, default=75)
     p.add_argument("--trials", type=int, default=4)
@@ -56,7 +57,7 @@ def main() -> None:
     if work.exists():
         shutil.rmtree(work)
     work.mkdir(parents=True)
-    cache_dir = work / "xla_cache" if args.cold else Path.home() / ".cache" / "aep_tpu_jax"
+    cache_dir = Path(args.cache_dir) if args.cache_dir else Path.home() / ".cache" / "aep_tpu_jax"
     os.environ["JAX_COMPILATION_CACHE_DIR"] = str(cache_dir)
     if args.cold and cache_dir.exists():
         shutil.rmtree(cache_dir)
