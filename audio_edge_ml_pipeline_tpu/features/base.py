@@ -302,10 +302,14 @@ class BatchedAudioExtractor(BaseFeatureExtractor):
                 if not good:
                     continue
                 if tgt is not None:
-                    waves = np.zeros((len(good), tgt), np.float32)
+                    # fixed (batch_size, tgt) shape for every chunk (short
+                    # final chunks are zero-row-padded): ONE compiled program
+                    # per extractor config instead of one per chunk size
+                    rows = len(good)
+                    waves = np.zeros((self.batch_size, tgt), np.float32)
                     for j, (y, _, _) in enumerate(good):
                         waves[j, : len(y)] = y[:tgt]
-                    feats = self._device_batch(waves, None).astype(np.float32)
+                    feats = self._device_batch(waves, None).astype(np.float32)[:rows]
                     feat_per_item = list(feats)
                 elif self.exact_length_batching:
                     # Group by exact length; each group runs unmasked. Only
@@ -340,9 +344,12 @@ class BatchedAudioExtractor(BaseFeatureExtractor):
                         for k, j in enumerate(idxs):
                             feat_per_item[j] = feats[k]
                 else:
+                    # rows fixed at batch_size (pad rows masked via length 0
+                    # -> full-length mask is fine: they are sliced away);
+                    # sample dim bucketed to 1 s steps
                     max_n = self._pad_bucket(max(len(y) for y, _, _ in good))
-                    waves = np.zeros((len(good), max_n), np.float32)
-                    lens = np.zeros(len(good), np.int32)
+                    waves = np.zeros((self.batch_size, max_n), np.float32)
+                    lens = np.full(self.batch_size, max_n, np.int32)
                     for j, (y, _, _) in enumerate(good):
                         waves[j, : len(y)] = y
                         lens[j] = len(y)
