@@ -403,10 +403,12 @@ class FlaxTrainer(BaseTrainer):
 
     def _adapt_normalization(self, X: np.ndarray) -> None:
         """Keras Normalization(axis=-1) semantics: per-last-axis-position
-        mean/variance over every other axis (reference deep.py:131-134)."""
+        mean/variance over every other axis (reference deep.py:131-134).
+        Computed in numpy — on a remote backend every eager jnp op is its
+        own compiled-and-shipped XLA program."""
         axes = tuple(range(X.ndim - 1))
-        self._norm_mean = jnp.asarray(X.mean(axis=axes), dtype=jnp.float32)
-        self._norm_var = jnp.asarray(X.var(axis=axes), dtype=jnp.float32)
+        self._norm_mean = jnp.asarray(np.asarray(X).mean(axis=axes).astype(np.float32))
+        self._norm_var = jnp.asarray(np.asarray(X).var(axis=axes).astype(np.float32))
 
     def _make_train_step(self, module, optimizer, mutable_cols: tuple[str, ...]):
         """Training data stays device-resident; each step ships only a
@@ -470,10 +472,15 @@ class FlaxTrainer(BaseTrainer):
         return run_epoch
 
     def _make_eval_step(self, module):
-        @jax.jit
-        def eval_step(params, cols, x):
-            logits = module.apply({"params": params, **cols}, self._normalize(x), train=False)
-            return logits
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("bs",))
+        def eval_step(params, cols, X_dev, start, bs):
+            # dynamic_slice keeps the window offset a traced scalar: ONE
+            # compiled program for every batch position (a static slice per
+            # offset is a separate remote compile each)
+            x = jax.lax.dynamic_slice_in_dim(X_dev, start, bs, axis=0)
+            return module.apply({"params": params, **cols}, self._normalize(x), train=False)
 
         return eval_step
 
@@ -483,11 +490,13 @@ class FlaxTrainer(BaseTrainer):
         if eval_step is None:
             eval_step = self._make_eval_step(self._module())
             self._cached_eval_step = eval_step
-        bs = self.batch_size
+        bs = min(self.batch_size, X_dev.shape[0])
         outs = []
         for s in range(0, X_dev.shape[0], bs):
-            outs.append(eval_step(self._params, self._collections, jax.lax.slice_in_dim(X_dev, s, s + bs, axis=0)))
-        return np.concatenate([np.asarray(o) for o in outs])[:n]
+            start = min(s, X_dev.shape[0] - bs)  # clamp: full window at the tail
+            o = eval_step(self._params, self._collections, X_dev, start, bs)
+            outs.append(np.asarray(o)[s - start :])
+        return np.concatenate(outs)[:n]
 
     def _batched_logits(self, X: np.ndarray) -> np.ndarray:
         # jax.jit caches by function identity: build the jitted eval step
@@ -505,7 +514,8 @@ class FlaxTrainer(BaseTrainer):
             pad = bs - len(xb)
             if pad:
                 xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:], xb.dtype)])
-            outs.append(np.asarray(eval_step(self._params, self._collections, jnp.asarray(xb)))[: len(X[s : s + bs])])
+            o = eval_step(self._params, self._collections, jnp.asarray(xb), 0, bs)
+            outs.append(np.asarray(o)[: len(X[s : s + bs])])
         return np.concatenate(outs)
 
     # -- BaseTrainer ---------------------------------------------------------
@@ -645,13 +655,10 @@ class FlaxTrainer(BaseTrainer):
             self._params = params
             self._collections = cols
             val_logits = self._batched_logits_device(X_val_d, n_val)
-            val_loss = float(
-                np.mean(
-                    -np.take_along_axis(
-                        jax.nn.log_softmax(val_logits, axis=-1), y_val[:, None], axis=1
-                    )
-                )
-            )
+            # numpy log-softmax: no per-epoch eager device op on the logits
+            shifted = val_logits - val_logits.max(axis=-1, keepdims=True)
+            log_probs = shifted - np.log(np.exp(shifted).sum(axis=-1, keepdims=True))
+            val_loss = float(np.mean(-np.take_along_axis(log_probs, y_val[:, None], axis=1)))
             val_acc = float((val_logits.argmax(-1) == y_val).mean())
 
             log_epoch = epoch + getattr(self, "_log_epoch_offset", 0)
@@ -745,7 +752,9 @@ class FlaxTrainer(BaseTrainer):
 
     def predict_proba(self, X: np.ndarray) -> Optional[np.ndarray]:
         X = self._prepare_input(np.asarray(X)).astype(np.float32)
-        return np.asarray(jax.nn.softmax(self._batched_logits(X), axis=-1))
+        logits = self._batched_logits(X)
+        e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+        return (e / e.sum(axis=-1, keepdims=True)).astype(np.float32)
 
     def save(self, path: Path) -> None:
         save_model_bundle(
