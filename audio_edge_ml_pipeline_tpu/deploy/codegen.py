@@ -9,6 +9,15 @@ platformio.ini + custom linker script. Additionally emits a host harness
 (host_main.c) so CI can compile the project with gcc and verify numerical
 parity against the JAX pipeline (replacing the reference's device-only
 parity loop, SURVEY.md §4).
+
+On the reference's second codegen path (onnx_to_c.py:33-712, NCHW kernels +
+DequantizeLinear folding): that path exists there because its quantized
+artifacts are ONNX graphs (tf2onnx emits NCHW). This framework's quantized
+artifacts are .npz bundles in the same NHWC/HWIO layout as fp32 bundles, so
+ONE kernel library serves both — the capability the ONNX path carried
+(deploying the Stage-6 quantized winner, folding/dequantizing its weights)
+is covered by load_any_bundle ingestion + the q8 kernels below rather than
+by a second NCHW library.
 """
 
 from __future__ import annotations
