@@ -335,6 +335,34 @@ def test_quantized_artifact_deploys(cnn_for_quant, tmp_path, mode):
     assert c_scores.argmax() == view_scores.argmax()
 
 
+def test_quantized_ds_cnn_deploys(ds_cnn_bundle, tmp_path):
+    """int8 ds_cnn: the dwconv2d_q8 / dense_q8 emission path plus folded
+    BatchNorm from dequantized stats, parity vs the evaluated int8 view."""
+    from audio_edge_ml_pipeline_tpu.deploy.codegen import ModelToC
+    from audio_edge_ml_pipeline_tpu.optimize.quantize import _quantize_deep_bundle
+
+    bundle, _trainer, Xv = ds_cnn_bundle
+    art = tmp_path / "ds_dynamic_int8.npz"
+    view = _quantize_deep_bundle(Path(bundle), "dynamic_int8", art, calib_X=Xv)
+    gen = ModelToC(
+        art, ["a", "b", "c"], sample_rate=16000, n_mels=16, n_fft=512,
+        hop_length=160, duration=50 * 160 / 16000, board="generic", max_ram_kb=180,
+    )
+    out = tmp_path / "proj"
+    gen.generate(out)
+    model_c = (out / "src" / "model.c").read_text()
+    assert "ml_dwconv2d_q8" in model_c and "ml_dense_q8" in model_c and "ml_batchnorm" in model_c
+    exe = _compile_project(out)
+    feat = Xv[2]
+    (out / "feat.f32").write_bytes(feat.astype(np.float32).tobytes())
+    r = subprocess.run([str(exe), "--predict-feat", str(out / "feat.f32")], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    c_scores = np.array([float(v) for v in r.stdout.split()])
+    view_scores = view.predict_proba(feat[None])[0]
+    err = np.max(np.abs(c_scores - view_scores))
+    assert err <= 1e-4, f"int8 ds_cnn C parity {err:.2e}"
+
+
 def test_deploy_cli_routes_report_artifact(cnn_for_quant, tmp_path):
     """deploy --report (no --model) must ship the report's optimized model."""
     import os
