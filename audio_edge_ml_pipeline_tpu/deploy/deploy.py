@@ -37,6 +37,14 @@ def load_labels(args) -> list[str]:
         names_path = Path(args.features_dir) / "label_names.json"
         if names_path.exists():
             names = json.loads(names_path.read_text())
+            if args.class_filter:
+                # explicit CLI filter wins over the report's (deploy.py:164-166);
+                # canonical class-name-sorted encoding (tune.py contract)
+                kept = sorted(n for n in names if n in set(args.class_filter))
+                if not kept:
+                    raise SystemExit(f"--class-filter matched none of {names}")
+                logger.info("Labels filtered by --class-filter: %s", kept)
+                return kept
             if args.report:
                 report = json.loads(Path(args.report).read_text())
                 cf = report.get("class_filter")
@@ -83,6 +91,8 @@ def resolve_feature_params(args) -> dict:
     params["n_fft"] = args.n_fft if params["n_fft"] is None else params["n_fft"]
     params["hop_length"] = args.hop_length if params["hop_length"] is None else params["hop_length"]
     params["duration"] = args.duration if params["duration"] is None else params["duration"]
+    if getattr(args, "n_mfcc", None) is not None:
+        params["n_mfcc"] = args.n_mfcc
     return params
 
 
@@ -98,11 +108,16 @@ def main(argv=None) -> None:
                         "model is what ships (reference deploy.py:142-221)")
     p.add_argument("--output", required=True)
     p.add_argument("--labels", nargs="+", default=None)
+    p.add_argument("--class-filter", nargs="+", default=None, metavar="CLASS",
+                   help="restrict label_names.json to these classes (reference deploy.py:164-166)")
     p.add_argument("--features-dir", default=None)
     p.add_argument("--report", default=None, help="optimization_report.json for auto class_filter / params")
     p.add_argument("--board", default="nicla_vision", choices=sorted(BOARDS))
     p.add_argument("--sample-rate", type=int, default=16000)
     p.add_argument("--n-mels", type=int, default=40)
+    p.add_argument("--n-mfcc", type=int, default=None,
+                   help="recorded in the frontend params for MFCC-consuming runtimes "
+                        "(the mel C frontend ignores it; reference deploy.py:177)")
     p.add_argument("--n-fft", type=int, default=512)
     p.add_argument("--hop-length", type=int, default=160)
     p.add_argument("--duration", type=float, default=5.0)

@@ -197,7 +197,7 @@ def main(argv=None) -> None:
     parser.add_argument("--class-filter", nargs="+", default=None, metavar="CLASS")
     parser.add_argument("--features", default=None, help="FeatureSet dir for INT8 calibration")
     parser.add_argument("--features-eval", default=None, help="held-out FeatureSet dir for accuracy")
-    parser.add_argument("--output", default="data/models/optimized")
+    parser.add_argument("--output", "--output-dir", dest="output", default="data/models/optimized")
     parser.add_argument("--experiment", default="ml-pipeline-optimization")
     parser.add_argument("--mlflow-uri", default=None)
     parser.add_argument("--max-accuracy-drop", type=float, default=0.05)

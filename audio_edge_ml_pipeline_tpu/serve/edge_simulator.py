@@ -168,14 +168,19 @@ class EdgeDeviceSimulator:
             )
         )
 
-    def run(self, n: int, interval: float = 0.0) -> None:
-        for i in range(n):
+    def run(self, n: int, interval: float = 0.0, duration: float | None = None) -> None:
+        """Run *n* inferences, or until *duration* seconds elapse when given
+        (reference edge_simulator.py:362 runs fleets on wall-clock time)."""
+        deadline = time.monotonic() + duration if duration else None
+        i = 0
+        while (deadline is None and i < n) or (deadline is not None and time.monotonic() < deadline):
             event = self.step()
             logger.info(
                 "[%s] %s -> %s (%.3f)%s",
                 self.device_id, event["clip"], event["prediction"], event["confidence"],
                 "  UPLOADED" if event["uploaded"] else "",
             )
+            i += 1
             if interval:
                 time.sleep(interval)
 
@@ -183,11 +188,17 @@ class EdgeDeviceSimulator:
 def main(argv=None) -> None:
     setup_logging()
     p = argparse.ArgumentParser(prog="python -m audio_edge_ml_pipeline_tpu.serve.edge_simulator")
-    p.add_argument("--model", required=True)
+    p.add_argument("--model", "--model-path", dest="model", required=True)
     p.add_argument("--labels", required=True, help="label_names.json")
-    p.add_argument("--dataset", required=True, help="class-per-subfolder WAV dir")
+    p.add_argument("--dataset", "--data-dir", dest="dataset", required=True,
+                   help="class-per-subfolder WAV dir")
     p.add_argument("--device-id", default="sim0")
+    p.add_argument("--num-devices", type=int, default=1,
+                   help="simulate a fleet: N devices round-robin on one host "
+                        "(ids <device-id>, <device-id>1, ...)")
     p.add_argument("--n", type=int, default=20)
+    p.add_argument("--duration", type=float, default=None,
+                   help="run for this many seconds instead of a fixed --n")
     p.add_argument("--interval", type=float, default=0.0)
     p.add_argument("--api-url", default=None)
     p.add_argument("--upload-threshold", type=float, default=0.6)
@@ -195,11 +206,30 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
     labels = json.loads(Path(args.labels).read_text())
     mel = json.loads(Path(args.mel_params).read_text()) if args.mel_params else None
-    sim = EdgeDeviceSimulator(
-        Path(args.model), labels, Path(args.dataset), device_id=args.device_id,
-        api_url=args.api_url, upload_threshold=args.upload_threshold, mel_params=mel,
-    )
-    sim.run(args.n, args.interval)
+
+    def make_sim(device_id: str, seed: int) -> EdgeDeviceSimulator:
+        return EdgeDeviceSimulator(
+            Path(args.model), labels, Path(args.dataset), device_id=device_id,
+            api_url=args.api_url, upload_threshold=args.upload_threshold, mel_params=mel,
+            seed=seed,
+        )
+
+    if args.num_devices <= 1:
+        make_sim(args.device_id, 0).run(args.n, args.interval, duration=args.duration)
+        return
+    import threading
+
+    sims = [make_sim(f"{args.device_id}{i or ''}", i) for i in range(args.num_devices)]
+    threads = [
+        threading.Thread(
+            target=s.run, args=(args.n, args.interval), kwargs={"duration": args.duration}
+        )
+        for s in sims
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
 
 
 if __name__ == "__main__":

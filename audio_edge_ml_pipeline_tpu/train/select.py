@@ -293,10 +293,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-accuracy", type=float, default=None)
     p.add_argument("--top-n", type=int, default=5)
     p.add_argument("--output", default=None)
+    p.add_argument("--features-eval-dir", dest="features_eval_dir", default=None,
+                   help="override every candidate's features_eval_dir (reference select.py:490-497)")
     p.add_argument("--shortlist", default=None)
     p.add_argument("--opt-dir", default=None)
     p.add_argument("--max-size-kb", type=float, default=None)
-    p.add_argument("--ascending", action="store_true")
+    p.add_argument("--ascending", "--sort-asc", dest="ascending", action="store_true",
+                   help="rank ascending (for cost metrics like latency_ms)")
     return p
 
 
@@ -323,6 +326,7 @@ def main(argv=None) -> None:
         candidates = select_preopt(
             experiment=args.experiment, mlflow_uri=args.mlflow_uri,
             metric=metric, min_accuracy=args.min_accuracy, top_n=args.top_n,
+            features_eval_dir_override=args.features_eval_dir,
         )
         print_preopt_table(candidates, metric, args.top_n)
         if candidates:

@@ -48,30 +48,65 @@ def mlp_setup(tmp_path_factory):
 
 
 def test_to_tflite_cli(mlp_setup, tmp_path):
+    """Reference deploy layout + report schema (to_tflite.py:8-19, 300-332)."""
     root = mlp_setup
-    out = tmp_path / "deploy"
+    out = tmp_path / "compiled"
     r = subprocess.run(
         [
             sys.executable, "-m", "audio_edge_ml_pipeline_tpu.compilation.to_tflite",
             "--model", str(root / "run" / "model.flax.npz"),
-            "--features", str(root / "val"), "--output", str(out),
-            "--max-accuracy-drop", "0.05",
+            "--features", str(root / "val"), "--features-val", str(root / "val"),
+            "--output", str(out), "--max-accuracy-drop", "0.05",
         ],
         capture_output=True, text=True, env=_cpu_env(), cwd=tmp_path,
     )
     assert r.returncode == 0, r.stderr
-    assert (out / "model.tflite").exists()
-    assert (out / "label_names.json").exists()
-    assert (out / "mel_params.json").exists()
+    # per-mode artifacts at the output root
+    assert (out / "model_fp32.tflite").exists()
+    # deployment bundle under deploy/
+    deploy = out / "deploy"
+    assert (deploy / "model.tflite").exists()
+    assert json.loads((deploy / "label_names.json").read_text()) == ["a", "b", "c"]
+    mel = json.loads((deploy / "mel_params.json").read_text())
+    assert mel["sample_rate"] == 16000 and mel["input_shape"] == [40, 501]
+    fb = np.load(deploy / "mel_filterbank.npy")
+    assert fb.shape == (40, 257) and fb.dtype == np.float32
     report = json.loads((out / "compilation_report.json").read_text())
-    assert "fp32" in report["results"]
-    assert report["results"]["fp32"]["accuracy"] > 0.7
-    # quantized variants exist and int8/dynamic are smaller than fp32
-    if "dynamic_int8" in report["results"]:
-        assert report["results"]["dynamic_int8"]["size_kb"] <= report["results"]["fp32"]["size_kb"]
-    # best within drop gate
+    assert "fp32" in report["modes"]
+    assert report["modes"]["fp32"]["accuracy"] > 0.7
+    assert report["fp32_accuracy"] == report["modes"]["fp32"]["accuracy"]
+    assert report["n_classes"] == 3 and report["n_val_samples"] == 30
+    if "dynamic" in report["modes"]:
+        assert report["modes"]["dynamic"]["size_kb"] <= report["modes"]["fp32"]["size_kb"]
     best = report["best_mode"]
-    assert report["results"]["fp32"]["accuracy"] - report["results"][best]["accuracy"] <= 0.05 + 1e-9
+    assert report["fp32_accuracy"] - report["modes"][best]["accuracy"] <= 0.05 + 1e-9
+    assert report["best_size_kb"] == report["modes"][best]["size_kb"]
+
+
+def test_to_tflite_forced_mode_and_config(mlp_setup, tmp_path):
+    """--config YAML drives the run; --mode overrides auto-selection."""
+    root = mlp_setup
+    out = tmp_path / "forced"
+    cfg = tmp_path / "compilation.yaml"
+    cfg.write_text(
+        "model: {m}\nfeatures: {f}\nfeatures_val: {f}\noutput: {o}\n"
+        "max_accuracy_drop: 0.5\nn_mels: 32\nduration: 2.0\n".format(
+            m=root / "run" / "model.flax.npz", f=root / "val", o=out
+        )
+    )
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "audio_edge_ml_pipeline_tpu.compilation.to_tflite",
+            "--config", str(cfg), "--mode", "fp32",
+        ],
+        capture_output=True, text=True, env=_cpu_env(), cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    report = json.loads((out / "compilation_report.json").read_text())
+    assert report["best_mode"] == "fp32"
+    assert report["mel_params"]["n_mels"] == 32
+    assert report["mel_params"]["input_shape"] == [32, 201]
+    assert np.load(out / "deploy" / "mel_filterbank.npy").shape == (32, 257)
 
 
 def test_compile_xla_cli(mlp_setup, tmp_path):

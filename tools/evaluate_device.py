@@ -61,18 +61,61 @@ def evaluate(ser, clips: list[tuple[Path, str]], label_names: list[str],
     return metrics
 
 
+def _fsc22_label_map(root: Path) -> dict[str, str]:
+    """filename -> class name from the FSC22 metadata CSV (flat layout)."""
+    import pandas as pd
+
+    csvs = list(root.glob("Metadata-*/Metadata/*.csv")) or list(root.glob("*.csv"))
+    if not csvs:
+        raise SystemExit(f"no FSC22 metadata CSV under {root}")
+    df = pd.read_csv(csvs[0])
+    df.columns = df.columns.str.strip()
+    return {str(r["Dataset File Name"]): str(r["Class Name"]).strip() for _, r in df.iterrows()}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--port", required=True)
+    ap.add_argument("--port", default=None, help="serial port (default: auto-detect)")
     ap.add_argument("--baud", type=int, default=115200)
-    ap.add_argument("--dataset", required=True, type=Path)
+    ap.add_argument("--dataset", "--source-dir", dest="dataset", required=True, type=Path,
+                    help="root of the audio dataset")
+    ap.add_argument("--loader", default="audio_folder", choices=["audio_folder", "folder", "fsc22"],
+                    help="audio_folder = class-per-subfolder; fsc22 = flat audio + CSV "
+                         "(labels looked up by filename)")
     ap.add_argument("--manifest", type=Path, default=None)
     ap.add_argument("--split", default="test")
+    ap.add_argument("--classes", nargs="+", default=None,
+                    help="restrict evaluation to these class names "
+                         "(auto-populated from --optimization-report)")
+    ap.add_argument("--optimization-report", type=Path, default=None,
+                    help="optimization_report.json — reads class_filter automatically")
     ap.add_argument("--experiment", default="device-eval")
+    ap.add_argument("--run-name", default=None)
+    ap.add_argument("--mlflow-uri", default=None, help="tracking store root (default mlruns/)")
+    ap.add_argument("--no-mlflow", action="store_true", help="skip tracking, just print results")
     ap.add_argument("--output", type=Path, default=Path("data/device_eval"))
     ap.add_argument("--no-playback", action="store_true")
     ap.add_argument("--max-clips", type=int, default=None)
     args = ap.parse_args()
+
+    class_filter = set(args.classes or [])
+    if args.optimization_report:
+        cf = json.loads(args.optimization_report.read_text()).get("class_filter")
+        if isinstance(cf, str):
+            try:
+                cf = json.loads(cf)
+            except json.JSONDecodeError:
+                cf = [cf]
+        if cf and not class_filter:
+            class_filter = set(cf)
+            print(f"class filter from optimization report: {sorted(class_filter)}")
+
+    fsc22_labels = _fsc22_label_map(args.dataset) if args.loader == "fsc22" else None
+
+    def _label_for(rel: str) -> str:
+        if fsc22_labels is not None:
+            return fsc22_labels.get(Path(rel).name, "?")
+        return Path(rel).parts[0]
 
     clips: list[tuple[Path, str]] = []
     if args.manifest:
@@ -80,23 +123,37 @@ def main() -> None:
         for rel in manifest.get(args.split, []):
             p = args.dataset / rel
             if p.exists():
-                clips.append((p, Path(rel).parts[0]))
+                clips.append((p, _label_for(rel)))
+    elif fsc22_labels is not None:
+        for f in sorted(args.dataset.glob("*.wav")):
+            clips.append((f, fsc22_labels.get(f.name, "?")))
     else:
         for class_dir in sorted(p for p in args.dataset.iterdir() if p.is_dir()):
             for f in sorted(class_dir.glob("*.wav")):
                 clips.append((f, class_dir.name))
+    if class_filter:
+        clips = [(p, c) for p, c in clips if c in class_filter]
     if args.max_clips:
         clips = clips[: args.max_clips]
+    if not clips:
+        raise SystemExit("no clips matched the manifest/split/class filter")
     label_names = sorted({c for _, c in clips})
 
-    ser = serial_proto.open_serial(args.port, args.baud, timeout=60)
+    ser = serial_proto.open_serial(args.port or serial_proto.autodetect_port(),
+                                   args.baud, timeout=60)
     metrics = evaluate(ser, clips, label_names, playback=not args.no_playback, output_dir=args.output)
     print(f"device accuracy: {metrics['val_accuracy']:.4f}  f1_macro: {metrics['val_f1_macro']:.4f}")
 
+    if args.no_mlflow:
+        return
+    if args.mlflow_uri:
+        tracking.set_tracking_uri(args.mlflow_uri)
     tracking.set_experiment(args.experiment)
-    with tracking.start_run(run_name=f"device_eval_{args.split}") as run:
+    with tracking.start_run(run_name=args.run_name or f"device_eval_{args.split}") as run:
         run.log_param("split", args.split)
         run.log_param("n_clips", len(clips))
+        if class_filter:
+            run.log_param("class_filter", json.dumps(sorted(class_filter)))
         for k, v in metrics.items():
             if isinstance(v, (int, float)):
                 run.log_metric(f"device_{k}", float(v))

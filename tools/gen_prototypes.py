@@ -2,8 +2,13 @@
 """Generate per-class mean mel prototypes as uint8 C arrays for on-device
 MSE diagnostics (contract of reference tools/gen_prototypes.py:1-30).
 
-Usage: python tools/gen_prototypes.py --features-dir data/processed/fsc22_mel_train \
-           [--output prototypes.h]
+Usage: python tools/gen_prototypes.py --features data/processed/fsc22_mel_train \
+           [--classes Fire Chainsaw ...] \
+           [--out-dir deploy/project | --output prototypes.h]
+
+With --out-dir (reference layout) the header lands in <out-dir>/include/
+so a generated PlatformIO project picks it up directly; --classes selects
+and orders the prototypes to match the deployed model's output order.
 """
 
 from __future__ import annotations
@@ -19,13 +24,16 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def generate(features_dir: Path, output: Path) -> None:
+def generate(features_dir: Path, output: Path, classes: list[str] | None = None) -> None:
     feats = np.load(features_dir / "features.npy")
     labels = np.load(features_dir / "labels.npy")
-    names = json.loads((features_dir / "label_names.json").read_text())
+    all_names = json.loads((features_dir / "label_names.json").read_text())
+    names = list(classes) if classes else list(all_names)
     protos = []
-    for c in range(len(names)):
-        mean = feats[labels == c].mean(axis=0)
+    for name in names:
+        if name not in all_names:
+            raise SystemExit(f"class {name!r} not found; available: {all_names}")
+        mean = feats[labels == all_names.index(name)].mean(axis=0)
         protos.append(np.clip(np.round(mean * 255.0), 0, 255).astype(np.uint8))
     lines = [
         "/* per-class mean mel prototypes (uint8, features scaled x255) */",
@@ -54,10 +62,19 @@ def generate(features_dir: Path, output: Path) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--features-dir", required=True, type=Path)
+    ap.add_argument("--features", "--features-dir", dest="features", required=True, type=Path)
+    ap.add_argument("--classes", nargs="+", default=None,
+                    help="ordered class names matching the model output order")
+    ap.add_argument("--out-dir", type=Path, default=None,
+                    help="PlatformIO project root — header written to <out-dir>/include/")
     ap.add_argument("--output", type=Path, default=Path("prototypes.h"))
     args = ap.parse_args()
-    generate(args.features_dir, args.output)
+    output = args.output
+    if args.out_dir:
+        inc = args.out_dir / "include"
+        inc.mkdir(parents=True, exist_ok=True)
+        output = inc / "prototypes.h"
+    generate(args.features, output, classes=args.classes)
 
 
 if __name__ == "__main__":

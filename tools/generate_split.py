@@ -52,16 +52,23 @@ def collect_fsc22(root: Path) -> list[tuple[str, str]]:
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--dataset", required=True, type=Path)
-    ap.add_argument("--layout", choices=["folder", "fsc22"], default="folder")
+    ap.add_argument("--dataset", "--input", dest="dataset", required=True, type=Path,
+                    help="root of the dataset directory")
+    ap.add_argument("--layout", "--loader", dest="layout",
+                    choices=["folder", "audio_folder", "fsc22"], default="folder",
+                    help="folder/audio_folder = class-per-subfolder; fsc22 = flat audio + CSV")
     ap.add_argument("--output", type=Path, default=None)
     ap.add_argument("--train", type=float, default=0.70)
     ap.add_argument("--val", type=float, default=0.15)
+    ap.add_argument("--test", type=float, default=None,
+                    help="test fraction (informational; the remainder after train+val)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args()
 
-    samples = collect_folder(args.dataset) if args.layout == "folder" else collect_fsc22(args.dataset)
+    if args.test is not None and abs(args.train + args.val + args.test - 1.0) > 1e-6:
+        raise SystemExit(f"--train + --val + --test must sum to 1 (got {args.train + args.val + args.test})")
+    samples = collect_fsc22(args.dataset) if args.layout == "fsc22" else collect_folder(args.dataset)
     if not samples:
         raise SystemExit(f"No audio files found under {args.dataset}")
     labels = [c for _, c in samples]

@@ -23,6 +23,18 @@ MAGIC_PCM = bytes([0xCA, 0xFE, 0xBA, 0xBE])
 MAGIC_END = bytes([0xDE, 0xAD, 0x56, 0x78])
 
 
+def autodetect_port() -> str:
+    """First USB-serial device (reference tools default: auto-detect when
+    --port is omitted). Checks Linux ttyACM/ttyUSB then macOS cu.usbmodem."""
+    import glob
+
+    for pat in ("/dev/ttyACM*", "/dev/ttyUSB*", "/dev/cu.usbmodem*"):
+        hits = sorted(glob.glob(pat))
+        if hits:
+            return hits[0]
+    raise SystemExit("no serial device found — pass --port explicitly")
+
+
 def open_serial(port: str, baud: int = 115200, timeout: float = 5.0):
     """Open a pyserial port (clear error when pyserial is unavailable)."""
     try:
