@@ -90,7 +90,9 @@ def load_train_config(path: Path) -> TrainConfig:
                 model=item["model"],
                 name=item.get("name"),
                 features_dir=item.get("features_dir"),
-                features_test_dir=item.get("features_test_dir"),
+                # `features_test` is the key the reference's archived run
+                # configs use (its tune.py key); accept it as an alias here
+                features_test_dir=item.get("features_test_dir") or item.get("features_test"),
                 output_dir=item.get("output_dir"),
                 val_split=float(item.get("val_split", 0.2)),
                 cv_folds=(
@@ -110,7 +112,7 @@ def load_train_config(path: Path) -> TrainConfig:
         experiment=raw.get("experiment", "ml-pipeline"),
         mlflow_uri=raw.get("mlflow_uri", None),
         val_split=float(raw.get("val_split", 0.2)),
-        features_test_dir=raw.get("features_test_dir", None),
+        features_test_dir=raw.get("features_test_dir") or raw.get("features_test"),
         cv_folds=[int(k) for k in _cv] if isinstance(_cv, list) else int(_cv),
         cv_random_state=int(raw.get("cv_random_state", 42)),
         class_filter=raw.get("class_filter") or raw.get("species_filter") or None,
