@@ -148,30 +148,55 @@ def glcm_stats(gray: np.ndarray, levels: int = 32) -> np.ndarray:
     return np.array([contrast, dissim, homog, energy, corr, asm], dtype=np.float32)
 
 
-def classical_image_vector(gray: np.ndarray) -> np.ndarray:
-    hog = hog_features(gray)
-    lbp = lbp_histogram(gray)
-    hist, _ = np.histogram(gray, bins=64, range=(0.0, 1.0))
+def classical_image_vector(gray: np.ndarray, orientations: int = 9, cell: int = 8,
+                           block: int = 2, lbp_points: int = 24, lbp_radius: float = 3.0,
+                           n_hist_bins: int = 64) -> np.ndarray:
+    hog = hog_features(gray, orientations=orientations, cell=cell, block=block)
+    lbp = lbp_histogram(gray, P=lbp_points, R=lbp_radius)
+    hist, _ = np.histogram(gray, bins=n_hist_bins, range=(0.0, 1.0))
     hist = hist.astype(np.float32) / max(hist.sum(), 1)
     glcm = glcm_stats(gray)
     return np.concatenate([hog, lbp, hist, glcm]).astype(np.float32)
 
 
+def _pair(v) -> tuple[int, int]:
+    if isinstance(v, (int, float)):
+        return int(v), int(v)
+    a, b = v
+    return int(a), int(b)
+
+
 @register
 class ImageClassicalExtractor(BaseFeatureExtractor):
     """HOG + LBP + gray-hist + GLCM flat vector (8196-d at 128x128);
-    reference image/classical.py:85-217."""
+    knob set of reference image/classical.py:113-121 (HOG geometry, LBP
+    P/R, histogram bins). `image_size` is kept as a scalar alias of
+    `resize_to`."""
 
     name = "image_classical"
     feature_type = "classical"
     modality = "image"
 
-    def __init__(self, image_size: int = 128) -> None:
-        self.image_size = image_size
+    def __init__(self, resize_to=(128, 128), hog_orientations: int = 9,
+                 hog_pixels_per_cell=(8, 8), hog_cells_per_block=(2, 2),
+                 lbp_n_points: int = 24, lbp_radius: float = 3.0,
+                 n_hist_bins: int = 64, image_size: Optional[int] = None) -> None:
+        self.resize_to = _pair(image_size if image_size is not None else resize_to)
+        self.image_size = self.resize_to[0]
+        self.hog_orientations = hog_orientations
+        self.hog_pixels_per_cell = _pair(hog_pixels_per_cell)
+        self.hog_cells_per_block = _pair(hog_cells_per_block)
+        self.lbp_n_points = lbp_n_points
+        self.lbp_radius = lbp_radius
+        self.n_hist_bins = n_hist_bins
 
     def extract(self, sample_path, bbox_norm=None, **_kw) -> np.ndarray:
-        gray = _load_gray(sample_path, (self.image_size, self.image_size), bbox_norm)
-        return classical_image_vector(gray)
+        gray = _load_gray(sample_path, self.resize_to, bbox_norm)
+        return classical_image_vector(
+            gray, orientations=self.hog_orientations, cell=self.hog_pixels_per_cell[0],
+            block=self.hog_cells_per_block[0], lbp_points=self.lbp_n_points,
+            lbp_radius=self.lbp_radius, n_hist_bins=self.n_hist_bins,
+        )
 
 
 @register
@@ -182,15 +207,20 @@ class ImagePixels(BaseFeatureExtractor):
     feature_type = "deep"
     modality = "image"
 
-    def __init__(self, image_size: int = 64, grayscale: bool = True) -> None:
-        self.image_size = image_size
-        self.grayscale = grayscale
+    def __init__(self, image_size: Optional[int] = None, grayscale: Optional[bool] = None,
+                 resize_to=(64, 64), as_gray: Optional[bool] = None) -> None:
+        # resize_to / as_gray are the reference's knob names
+        # (image/deep.py:104-107); image_size / grayscale kept as aliases
+        self.resize_to = _pair(image_size if image_size is not None else resize_to)
+        self.image_size = self.resize_to[0]
+        self.grayscale = grayscale if grayscale is not None else (
+            as_gray if as_gray is not None else True
+        )
 
     def extract(self, sample_path, bbox_norm=None, **_kw) -> np.ndarray:
-        size = (self.image_size, self.image_size)
         if self.grayscale:
-            return _load_gray(sample_path, size, bbox_norm)[..., None]
-        return _load_rgb(sample_path, size, bbox_norm)
+            return _load_gray(sample_path, self.resize_to, bbox_norm)[..., None]
+        return _load_rgb(sample_path, self.resize_to, bbox_norm)
 
 
 @register
@@ -203,10 +233,16 @@ class ImageMobileNetV2(BaseFeatureExtractor):
     feature_type = "deep"
     modality = "image"
 
-    def __init__(self, image_size: int = 224, weights: Optional[str] = None, batch_size: int = 32) -> None:
-        self.image_size = image_size
+    def __init__(self, image_size: Optional[int] = None, weights: Optional[str] = None,
+                 batch_size: int = 32, input_size=(224, 224), trainable: bool = False) -> None:
+        # input_size / trainable mirror reference image/deep.py:181-184;
+        # trainable is meaningless for a frozen feature extractor but is
+        # accepted so reference configs load (the reference defaults it
+        # False and never trains through it either).
+        self.image_size = int(image_size if image_size is not None else _pair(input_size)[0])
         self.weights = weights
         self.batch_size = batch_size
+        self.trainable = trainable
         self._embed = None
 
     def _embedder(self):

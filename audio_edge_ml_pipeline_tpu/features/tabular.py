@@ -55,29 +55,68 @@ class TabularClassicalExtractor(BaseFeatureExtractor):
     feature_type = "classical"
     modality = "tabular"
 
-    def __init__(self, max_onehot_cardinality: int = 50) -> None:
-        self.max_onehot_cardinality = max_onehot_cardinality
+    _SCALERS = ("standard", "minmax", "robust", "none")
+
+    def __init__(self, numerical_cols: Optional[list] = None,
+                 categorical_cols: Optional[list] = None,
+                 label_col: Optional[str] = None, scaler: str = "standard",
+                 impute_numerical: str = "median",
+                 impute_categorical: str = "most_frequent",
+                 max_ohe_categories: Optional[int] = None,
+                 max_onehot_cardinality: int = 50) -> None:
+        # knob set of reference tabular/classical.py:104-120;
+        # max_onehot_cardinality kept as an alias of max_ohe_categories
+        if scaler not in self._SCALERS:
+            raise ValueError(f"scaler must be one of {list(self._SCALERS)}, got {scaler!r}.")
+        self.numerical_cols = list(numerical_cols) if numerical_cols else None
+        self.categorical_cols = list(categorical_cols) if categorical_cols else None
+        self.label_col = label_col
+        self.scaler = scaler
+        self.impute_numerical = impute_numerical
+        self.impute_categorical = impute_categorical
+        self.max_onehot_cardinality = (
+            max_ohe_categories if max_ohe_categories is not None else max_onehot_cardinality
+        )
+        self.max_ohe_categories = self.max_onehot_cardinality
         self._transformer = None
         self._columns: Optional[list[str]] = None
+
+    def _make_scaler(self):
+        from sklearn.preprocessing import MinMaxScaler, RobustScaler, StandardScaler
+
+        return {"standard": StandardScaler, "minmax": MinMaxScaler, "robust": RobustScaler}[self.scaler]()
+
+    def _split_columns(self, df):
+        from pandas.api.types import is_numeric_dtype
+
+        if self.numerical_cols is not None:
+            num_cols = [c for c in self.numerical_cols if c in df.columns]
+        else:
+            num_cols = [c for c in df.columns if is_numeric_dtype(df[c]) and c != self.label_col]
+        if self.categorical_cols is not None:
+            cat_cols = [c for c in self.categorical_cols if c in df.columns]
+        else:
+            cat_cols = [
+                c for c in df.columns
+                if c not in num_cols and c != self.label_col
+                and df[c].nunique() <= self.max_onehot_cardinality
+            ]
+        return num_cols, cat_cols
 
     def _build_transformer(self, df):
         from sklearn.compose import ColumnTransformer
         from sklearn.impute import SimpleImputer
         from sklearn.pipeline import Pipeline
-        from sklearn.preprocessing import OneHotEncoder, StandardScaler
+        from sklearn.preprocessing import OneHotEncoder
 
-        from pandas.api.types import is_numeric_dtype
-
-        num_cols = [c for c in df.columns if is_numeric_dtype(df[c])]
-        cat_cols = [
-            c
-            for c in df.columns
-            if c not in num_cols and df[c].nunique() <= self.max_onehot_cardinality
-        ]
-        num_pipe = Pipeline([("impute", SimpleImputer(strategy="median")), ("scale", StandardScaler())])
+        num_cols, cat_cols = self._split_columns(df)
+        num_steps = [("impute", SimpleImputer(strategy=self.impute_numerical))]
+        if self.scaler != "none":
+            num_steps.append(("scale", self._make_scaler()))
+        num_pipe = Pipeline(num_steps)
         cat_pipe = Pipeline(
             [
-                ("impute", SimpleImputer(strategy="most_frequent")),
+                ("impute", SimpleImputer(strategy=self.impute_categorical)),
                 ("ohe", OneHotEncoder(handle_unknown="ignore", sparse_output=False)),
             ]
         )
@@ -130,34 +169,33 @@ class TabularPolynomialExtractor(TabularClassicalExtractor):
     name = "tabular_polynomial"
     feature_type = "deep"
 
-    def __init__(self, degree: int = 2, max_onehot_cardinality: int = 50) -> None:
-        super().__init__(max_onehot_cardinality=max_onehot_cardinality)
+    def __init__(self, degree: int = 2, interaction_only: bool = False,
+                 include_bias: bool = False, **kwargs) -> None:
+        # polynomial knobs of reference tabular/deep.py:79-92; the shared
+        # column/impute/scaler knobs pass through to the base class
+        super().__init__(**kwargs)
         self.degree = degree
+        self.interaction_only = interaction_only
+        self.include_bias = include_bias
 
     def _build_transformer(self, df):
         from sklearn.compose import ColumnTransformer
         from sklearn.impute import SimpleImputer
         from sklearn.pipeline import Pipeline
-        from sklearn.preprocessing import OneHotEncoder, PolynomialFeatures, StandardScaler
+        from sklearn.preprocessing import OneHotEncoder, PolynomialFeatures
 
-        from pandas.api.types import is_numeric_dtype
-
-        num_cols = [c for c in df.columns if is_numeric_dtype(df[c])]
-        cat_cols = [
-            c
-            for c in df.columns
-            if c not in num_cols and df[c].nunique() <= self.max_onehot_cardinality
-        ]
-        num_pipe = Pipeline(
-            [
-                ("impute", SimpleImputer(strategy="median")),
-                ("scale", StandardScaler()),
-                ("poly", PolynomialFeatures(degree=self.degree, include_bias=False)),
-            ]
+        num_cols, cat_cols = self._split_columns(df)
+        num_steps = [("impute", SimpleImputer(strategy=self.impute_numerical))]
+        if self.scaler != "none":
+            num_steps.append(("scale", self._make_scaler()))
+        num_steps.append(
+            ("poly", PolynomialFeatures(degree=self.degree, interaction_only=self.interaction_only,
+                                        include_bias=self.include_bias))
         )
+        num_pipe = Pipeline(num_steps)
         cat_pipe = Pipeline(
             [
-                ("impute", SimpleImputer(strategy="most_frequent")),
+                ("impute", SimpleImputer(strategy=self.impute_categorical)),
                 ("ohe", OneHotEncoder(handle_unknown="ignore", sparse_output=False)),
             ]
         )

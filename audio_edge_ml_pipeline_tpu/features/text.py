@@ -29,7 +29,8 @@ def _doc_text(sample_path, kwargs) -> str:
     if kwargs.get("text") is not None:
         return str(kwargs["text"])
     if sample_path is not None:
-        return open(sample_path, "r", encoding="utf-8", errors="replace").read()
+        enc = kwargs.get("encoding") or "utf-8"
+        return open(sample_path, "r", encoding=enc, errors="replace").read()
     raise ValueError("No text content: need 'text' metadata or a sample path.")
 
 
@@ -82,46 +83,60 @@ class _CorpusFitExtractor(BaseFeatureExtractor):
 class TextTFIDFExtractor(_CorpusFitExtractor):
     name = "text_tfidf"
 
-    def __init__(self, max_features: int = 5000, ngram_range: tuple = (1, 2), min_df: int = 1) -> None:
+    def __init__(self, max_features: int = 10_000, ngram_range: tuple = (1, 2),
+                 sublinear_tf: bool = True, min_df=2, max_df: float = 0.95) -> None:
+        # knob set + defaults of reference text/classical.py:138-144
         super().__init__()
         self.max_features = max_features
         self.ngram_range = tuple(ngram_range)
+        self.sublinear_tf = sublinear_tf
         self.min_df = min_df
+        self.max_df = max_df
 
     def _build_vectorizer(self):
         from sklearn.feature_extraction.text import TfidfVectorizer
 
-        return TfidfVectorizer(max_features=self.max_features, ngram_range=self.ngram_range, min_df=self.min_df)
+        return TfidfVectorizer(max_features=self.max_features, ngram_range=self.ngram_range,
+                               sublinear_tf=self.sublinear_tf, min_df=self.min_df, max_df=self.max_df)
 
 
 @register
 class TextBOWExtractor(_CorpusFitExtractor):
     name = "text_bow"
 
-    def __init__(self, max_features: int = 5000, min_df: int = 1) -> None:
+    def __init__(self, max_features: int = 10_000, ngram_range: tuple = (1, 1),
+                 binary: bool = False, min_df=2, max_df: float = 0.95) -> None:
+        # knob set + defaults of reference text/classical.py:212-218
         super().__init__()
         self.max_features = max_features
+        self.ngram_range = tuple(ngram_range)
+        self.binary = binary
         self.min_df = min_df
+        self.max_df = max_df
 
     def _build_vectorizer(self):
         from sklearn.feature_extraction.text import CountVectorizer
 
-        return CountVectorizer(max_features=self.max_features, min_df=self.min_df)
+        return CountVectorizer(max_features=self.max_features, ngram_range=self.ngram_range,
+                               binary=self.binary, min_df=self.min_df, max_df=self.max_df)
 
 
 @register
 class TextCharNgramExtractor(_CorpusFitExtractor):
     name = "text_char_ngram"
 
-    def __init__(self, max_features: int = 5000, ngram_range: tuple = (2, 4)) -> None:
+    def __init__(self, max_features: int = 50_000, ngram_range: tuple = (3, 5), min_df=3) -> None:
+        # knob set + defaults of reference text/classical.py:279-287
         super().__init__()
         self.max_features = max_features
         self.ngram_range = tuple(ngram_range)
+        self.min_df = min_df
 
     def _build_vectorizer(self):
         from sklearn.feature_extraction.text import TfidfVectorizer
 
-        return TfidfVectorizer(analyzer="char_wb", max_features=self.max_features, ngram_range=self.ngram_range)
+        return TfidfVectorizer(analyzer="char_wb", max_features=self.max_features,
+                               ngram_range=self.ngram_range, min_df=self.min_df)
 
 
 _TOKEN_RE = re.compile(r"[a-z0-9']+")
@@ -155,10 +170,17 @@ class TextSentenceEmbedding(BaseFeatureExtractor):
     feature_type = "deep"
     modality = "text"
 
-    def __init__(self, model_name: str = "all-MiniLM-L6-v2", dim: int = 384, local_model_dir: Optional[str] = None) -> None:
+    def __init__(self, model_name: str = "all-MiniLM-L6-v2", dim: int = 384,
+                 local_model_dir: Optional[str] = None, device: Optional[str] = None,
+                 batch_size: int = 64, normalize_embeddings: bool = True) -> None:
+        # device/batch_size/normalize_embeddings mirror reference
+        # text/deep.py:85-90; device is advisory here (JAX places arrays)
         self.model_name = model_name
         self.dim = dim
         self.local_model_dir = local_model_dir
+        self.device = device
+        self.batch_size = batch_size
+        self.normalize_embeddings = normalize_embeddings
         self._model = None
         self._lsa = None  # (vectorizer, svd) after corpus fit
         if local_model_dir:
@@ -181,9 +203,11 @@ class TextSentenceEmbedding(BaseFeatureExtractor):
         return emb / n if n > 0 else emb
 
     def _pad_unit(self, rows: np.ndarray) -> np.ndarray:
-        """Zero-pad to the contract dim and L2-normalize rows."""
+        """Zero-pad to the contract dim; L2-normalize unless disabled."""
         out = np.zeros((len(rows), self.dim), np.float32)
         out[:, : rows.shape[1]] = rows
+        if not self.normalize_embeddings:
+            return out
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         return out / np.where(norms > 0, norms, 1.0)
 
@@ -252,10 +276,12 @@ class TextBERTTokens(BaseFeatureExtractor):
     _ID_BASE = 1000  # first non-special id (mirrors BERT's reserved block)
 
     def __init__(self, model_name: str = "bert-base-uncased", max_length: int = 128,
-                 vocab_size: int = 30522, local_model_dir: Optional[str] = None) -> None:
+                 vocab_size: int = 30522, local_model_dir: Optional[str] = None,
+                 return_attention_mask: bool = False) -> None:
         self.model_name = model_name
         self.max_length = max_length
         self.vocab_size = vocab_size
+        self.return_attention_mask = return_attention_mask
         self._tok = None
         self._vocab: Optional[dict[str, int]] = None  # corpus-fit word -> id
         if local_model_dir:
@@ -276,8 +302,12 @@ class TextBERTTokens(BaseFeatureExtractor):
 
     def _encode(self, text: str) -> np.ndarray:
         if self._tok is not None:
-            ids = self._tok(text, truncation=True, max_length=self.max_length, padding="max_length")["input_ids"]
-            return np.asarray(ids, dtype=np.int32)
+            enc = self._tok(text, truncation=True, max_length=self.max_length, padding="max_length")
+            ids = np.asarray(enc["input_ids"], dtype=np.int32)
+            if self.return_attention_mask:
+                # (2, max_length): [ids, mask] — reference text/deep.py:195-198
+                return np.stack([ids, np.asarray(enc["attention_mask"], dtype=np.int32)])
+            return ids
         ids = [101]
         for tok in _TOKEN_RE.findall(text.lower())[: self.max_length - 2]:
             if self._vocab is not None and tok in self._vocab:
@@ -286,7 +316,10 @@ class TextBERTTokens(BaseFeatureExtractor):
                 ids.append(self._hash_id(tok))
         ids.append(102)
         ids = ids[: self.max_length] + [0] * max(0, self.max_length - len(ids))
-        return np.asarray(ids, dtype=np.int32)
+        arr = np.asarray(ids, dtype=np.int32)
+        if self.return_attention_mask:
+            return np.stack([arr, (arr != 0).astype(np.int32)])
+        return arr
 
     def extract(self, sample_path, **kwargs) -> np.ndarray:
         return self._encode(_doc_text(sample_path, kwargs))

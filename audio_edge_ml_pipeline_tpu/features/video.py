@@ -14,7 +14,7 @@ from typing import Optional
 import numpy as np
 
 from .base import BaseFeatureExtractor
-from .image import classical_image_vector, glcm_stats, hog_features, lbp_histogram
+from .image import _pair, classical_image_vector, glcm_stats, hog_features, lbp_histogram
 from .registry import register
 
 
@@ -70,14 +70,34 @@ class VideoClassicalExtractor(BaseFeatureExtractor):
     feature_type = "classical"
     modality = "video"
 
-    def __init__(self, max_frames: int = 16, frame_size: int = 64, optical_flow: bool = False) -> None:
+    def __init__(self, max_frames: int = 16, frame_size: Optional[int] = None,
+                 optical_flow: bool = False, resize_to=(64, 64),
+                 hog_orientations: int = 9, hog_pixels_per_cell=(16, 16),
+                 hog_cells_per_block=(2, 2), lbp_n_points: int = 24,
+                 lbp_radius: float = 3.0, n_hist_bins: int = 64) -> None:
+        # knob set of reference video/classical.py:178-189; frame_size is
+        # kept as a scalar alias of resize_to
         self.max_frames = max_frames
-        self.frame_size = frame_size
+        self.resize_to = _pair(frame_size if frame_size is not None else resize_to)
+        self.frame_size = self.resize_to[0]
         self.optical_flow = optical_flow
+        self.hog_orientations = hog_orientations
+        self.hog_pixels_per_cell = _pair(hog_pixels_per_cell)
+        self.hog_cells_per_block = _pair(hog_cells_per_block)
+        self.lbp_n_points = lbp_n_points
+        self.lbp_radius = lbp_radius
+        self.n_hist_bins = n_hist_bins
 
     def extract(self, sample_path, **_kw) -> np.ndarray:
-        frames = _open_and_sample(sample_path, self.max_frames, (self.frame_size, self.frame_size), gray=True)
-        per_frame = np.stack([classical_image_vector(f) for f in frames])  # (T, D)
+        frames = _open_and_sample(sample_path, self.max_frames, self.resize_to, gray=True)
+        per_frame = np.stack([
+            classical_image_vector(
+                f, orientations=self.hog_orientations, cell=self.hog_pixels_per_cell[0],
+                block=self.hog_cells_per_block[0], lbp_points=self.lbp_n_points,
+                lbp_radius=self.lbp_radius, n_hist_bins=self.n_hist_bins,
+            )
+            for f in frames
+        ])  # (T, D)
         feat = np.concatenate([per_frame.mean(axis=0), per_frame.std(axis=0)])
         if self.optical_flow and len(frames) >= 2:
             import cv2
@@ -113,15 +133,17 @@ class VideoFrameSequence(BaseFeatureExtractor):
     feature_type = "deep"
     modality = "video"
 
-    def __init__(self, max_frames: int = 16, frame_size: int = 64, grayscale: bool = False) -> None:
+    def __init__(self, max_frames: int = 16, frame_size: Optional[int] = None,
+                 grayscale: Optional[bool] = None, resize_to=(64, 64),
+                 as_gray: Optional[bool] = None) -> None:
+        # resize_to / as_gray mirror reference video/deep.py:69-73
         self.max_frames = max_frames
-        self.frame_size = frame_size
-        self.grayscale = grayscale
+        self.resize_to = _pair(frame_size if frame_size is not None else resize_to)
+        self.frame_size = self.resize_to[0]
+        self.grayscale = grayscale if grayscale is not None else bool(as_gray)
 
     def extract(self, sample_path, **_kw) -> np.ndarray:
-        frames = _open_and_sample(
-            sample_path, self.max_frames, (self.frame_size, self.frame_size), gray=self.grayscale
-        )
+        frames = _open_and_sample(sample_path, self.max_frames, self.resize_to, gray=self.grayscale)
         if self.grayscale:
             frames = frames[..., None]
         # pad to fixed T
@@ -140,10 +162,14 @@ class VideoMobileNetV2Sequence(BaseFeatureExtractor):
     feature_type = "deep"
     modality = "video"
 
-    def __init__(self, max_frames: int = 16, image_size: int = 224, weights: Optional[str] = None) -> None:
+    def __init__(self, max_frames: int = 16, image_size: Optional[int] = None,
+                 weights: Optional[str] = None, input_size=(224, 224),
+                 trainable: bool = False) -> None:
+        # input_size / trainable mirror reference video/deep.py:145-153
         self.max_frames = max_frames
-        self.image_size = image_size
+        self.image_size = int(image_size if image_size is not None else _pair(input_size)[0])
         self.weights = weights
+        self.trainable = trainable
         self._embed = None
 
     def extract(self, sample_path, **_kw) -> np.ndarray:

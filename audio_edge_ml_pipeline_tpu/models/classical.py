@@ -157,7 +157,8 @@ class RandomForestTrainer(SklearnTrainer):
 class PCASVMTrainer(SklearnTrainer):
     name = "pca_svm"
 
-    def __init__(self, n_components: int = 50, C: float = 1.0, kernel: str = "rbf", **_):
+    def __init__(self, n_components: int = 50, C: float = 1.0, kernel: str = "rbf",
+                 gamma="scale", **_):
         from sklearn.decomposition import PCA
         from sklearn.pipeline import Pipeline
         from sklearn.preprocessing import StandardScaler
@@ -168,7 +169,7 @@ class PCASVMTrainer(SklearnTrainer):
                 [
                     ("scaler", StandardScaler()),
                     ("pca", PCA(n_components=n_components, random_state=42)),
-                    ("svm", SVC(C=C, kernel=kernel, probability=True, class_weight="balanced")),
+                    ("svm", SVC(C=C, kernel=kernel, gamma=gamma, probability=True, class_weight="balanced")),
                 ]
             )
         )
@@ -178,18 +179,23 @@ class PCASVMTrainer(SklearnTrainer):
 class PCALDATrainer(SklearnTrainer):
     name = "pca_lda"
 
-    def __init__(self, n_components: int = 50, solver: str = "svd", **_):
+    def __init__(self, n_components_pca: Optional[int] = None,
+                 n_components_lda: Optional[int] = None, solver: str = "svd",
+                 n_components: Optional[int] = None, **_):
+        # n_components_pca / n_components_lda are the reference's knob names
+        # (classical.py:448-470); n_components kept as a PCA-dim alias
         from sklearn.decomposition import PCA
         from sklearn.discriminant_analysis import LinearDiscriminantAnalysis
         from sklearn.pipeline import Pipeline
         from sklearn.preprocessing import StandardScaler
 
+        pca_dim = n_components_pca if n_components_pca is not None else (n_components or 50)
         super().__init__(
             Pipeline(
                 [
                     ("scaler", StandardScaler()),
-                    ("pca", PCA(n_components=n_components, random_state=42)),
-                    ("lda", LinearDiscriminantAnalysis(solver=solver)),
+                    ("pca", PCA(n_components=pca_dim, random_state=42)),
+                    ("lda", LinearDiscriminantAnalysis(n_components=n_components_lda, solver=solver)),
                 ]
             )
         )
@@ -199,7 +205,8 @@ class PCALDATrainer(SklearnTrainer):
 class PCAKNNTrainer(SklearnTrainer):
     name = "pca_knn"
 
-    def __init__(self, n_components: int = 50, n_neighbors: int = 5, **_):
+    def __init__(self, n_components: int = 50, n_neighbors: int = 5,
+                 metric: str = "minkowski", **_):
         from sklearn.decomposition import PCA
         from sklearn.neighbors import KNeighborsClassifier
         from sklearn.pipeline import Pipeline
@@ -210,7 +217,7 @@ class PCAKNNTrainer(SklearnTrainer):
                 [
                     ("scaler", StandardScaler()),
                     ("pca", PCA(n_components=n_components, random_state=42)),
-                    ("knn", KNeighborsClassifier(n_neighbors=n_neighbors)),
+                    ("knn", KNeighborsClassifier(n_neighbors=n_neighbors, metric=metric)),
                 ]
             )
         )
@@ -225,13 +232,15 @@ _knn_counts_jit = None
 _knn_trace_count = 0  # incremented at TRACE time only — regression hook
 
 
-def _knn_counts(q, Xr, yr, k: int, n_classes: int):
+def _knn_counts(q, Xr, yr, k: int, n_classes: int, metric: str = "minkowski"):
     """Neighbor class counts via one jitted module-level callable.
 
-    jit'd once per (shape, k, n_classes) signature and cached by JAX's own
-    trace cache — NOT rebuilt per predict call (a fresh closure per call
-    forces a full XLA recompile each time; CLAUDE.md invariant, VERDICT r1
-    weak #1)."""
+    jit'd once per (shape, k, n_classes, metric) signature and cached by
+    JAX's own trace cache — NOT rebuilt per predict call (a fresh closure
+    per call forces a full XLA recompile each time; CLAUDE.md invariant,
+    VERDICT r1 weak #1). Metrics match the reference knn grid values
+    (classical.py:339-352; tuning.yaml minkowski | cosine): minkowski/
+    euclidean = squared L2 (one matmul), cosine = 1 - normalized dot."""
     global _knn_counts_jit
     if _knn_counts_jit is None:
         import functools
@@ -239,22 +248,27 @@ def _knn_counts(q, Xr, yr, k: int, n_classes: int):
         import jax
         import jax.numpy as jnp
 
-        @functools.partial(jax.jit, static_argnames=("k", "n_classes"))
-        def counts(q, Xr, yr, k, n_classes):
+        @functools.partial(jax.jit, static_argnames=("k", "n_classes", "metric"))
+        def counts(q, Xr, yr, k, n_classes, metric):
             global _knn_trace_count
             _knn_trace_count += 1  # runs only while tracing
-            d = (
-                jnp.sum(q * q, axis=1, keepdims=True)
-                - 2.0 * q @ Xr.T
-                + jnp.sum(Xr * Xr, axis=1)[None, :]
-            )
+            if metric == "cosine":
+                qn = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+                Xn = Xr / jnp.maximum(jnp.linalg.norm(Xr, axis=1, keepdims=True), 1e-12)
+                d = 1.0 - qn @ Xn.T
+            else:  # minkowski (p=2) / euclidean
+                d = (
+                    jnp.sum(q * q, axis=1, keepdims=True)
+                    - 2.0 * q @ Xr.T
+                    + jnp.sum(Xr * Xr, axis=1)[None, :]
+                )
             _, idx = jax.lax.top_k(-d, k)
             neigh = yr[idx]  # (B, k)
             onehot = jax.nn.one_hot(neigh, n_classes, dtype=jnp.float32)
             return jnp.sum(onehot, axis=1)
 
         _knn_counts_jit = counts
-    return _knn_counts_jit(q, Xr, yr, k=k, n_classes=n_classes)
+    return _knn_counts_jit(q, Xr, yr, k=k, n_classes=n_classes, metric=metric)
 
 
 @register_model
@@ -266,8 +280,11 @@ class KNNTrainer(BaseTrainer):
     name = "knn"
     model_type = "classical"
 
-    def __init__(self, n_neighbors: int = 5, **_):
+    def __init__(self, n_neighbors: int = 5, metric: str = "minkowski", **_):
+        if metric not in ("minkowski", "euclidean", "cosine"):
+            raise ValueError(f"knn metric must be minkowski/euclidean/cosine, got {metric!r}")
         self.n_neighbors = n_neighbors
+        self.metric = metric
         self._X = None
         self._y = None
         self._n_classes = None
@@ -275,7 +292,7 @@ class KNNTrainer(BaseTrainer):
     def _predict_counts(self, X: np.ndarray) -> np.ndarray:
         q = self.flatten(np.asarray(X)).astype(np.float32)
         k = min(self.n_neighbors, len(self._X))
-        return np.asarray(_knn_counts(q, self._X, self._y, k, self._n_classes))
+        return np.asarray(_knn_counts(q, self._X, self._y, k, self._n_classes, self.metric))
 
     def fit(self, X_train, y_train, X_val, y_val, label_names, run_name, output_dir, mlflow_run) -> TrainResult:
         self._X = self.flatten(np.asarray(X_train)).astype(np.float32)
@@ -294,12 +311,14 @@ class KNNTrainer(BaseTrainer):
         return c / c.sum(axis=1, keepdims=True)
 
     def save(self, path: Path) -> None:
-        np.savez(path, X=self._X, y=self._y, n_neighbors=self.n_neighbors, n_classes=self._n_classes)
+        np.savez(path, X=self._X, y=self._y, n_neighbors=self.n_neighbors,
+                 n_classes=self._n_classes, metric=self.metric)
 
     @classmethod
     def load(cls, path: Path) -> "KNNTrainer":
         d = np.load(path)
-        inst = cls(n_neighbors=int(d["n_neighbors"]))
+        metric = str(d["metric"]) if "metric" in d else "minkowski"
+        inst = cls(n_neighbors=int(d["n_neighbors"]), metric=metric)
         inst._X, inst._y, inst._n_classes = d["X"], d["y"], int(d["n_classes"])
         return inst
 

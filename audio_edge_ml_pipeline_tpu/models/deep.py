@@ -946,13 +946,23 @@ class EfficientNetTeacherTrainer(FlaxTrainer):
 
     name = "efficientnet_teacher"
 
-    def __init__(self, warmup_epochs: int = 5, image_size: int = 224, **kwargs):
+    def __init__(self, warmup_epochs: int = 5, image_size: Optional[int] = None,
+                 unfreeze_layers: Optional[int] = None, fine_tune_lr_factor: float = 0.1,
+                 target_h: Optional[int] = None, target_w: Optional[int] = None, **kwargs):
+        # unfreeze_layers / fine_tune_lr_factor / target_h / target_w mirror
+        # reference deep.py:677-690; this trainer resizes to a square, so
+        # target_h is the operative side (target_w accepted for configs).
+        # unfreeze_layers is advisory: phase 2 unfreezes the whole backbone
+        # (flax modules have no Keras-style layer index to slice by).
         super().__init__(**kwargs)
         self.warmup_epochs = warmup_epochs
-        self.image_size = image_size
+        self.image_size = int(image_size if image_size is not None else (target_h or 224))
+        self.unfreeze_layers = unfreeze_layers
+        self.fine_tune_lr_factor = float(fine_tune_lr_factor)
 
     def _architecture_params(self) -> dict:
-        return {"warmup_epochs": self.warmup_epochs, "image_size": self.image_size}
+        return {"warmup_epochs": self.warmup_epochs, "image_size": self.image_size,
+                "fine_tune_lr_factor": self.fine_tune_lr_factor}
 
     def _prepare_input(self, X: np.ndarray) -> np.ndarray:
         if X.ndim == 3:
@@ -982,7 +992,7 @@ class EfficientNetTeacherTrainer(FlaxTrainer):
         if total > self.warmup_epochs:
             self._head_only = False
             self.epochs = total - self.warmup_epochs
-            self.learning_rate = base_lr * 0.1
+            self.learning_rate = base_lr * self.fine_tune_lr_factor
             self._log_epoch_offset = self.warmup_epochs
             if base_ckpt:
                 self._extra["checkpoint_dir"] = str(Path(base_ckpt) / "phase2")
@@ -1014,10 +1024,12 @@ class DistillationCNNTrainer(FlaxTrainer):
     name = "distillation_cnn"
 
     def __init__(self, filters=None, teacher_model: Optional[str] = None,
-                 temperature: float = _KD_TEMPERATURE, alpha: float = _KD_ALPHA, **kwargs):
+                 temperature: float = _KD_TEMPERATURE, alpha: float = _KD_ALPHA,
+                 teacher_model_path: Optional[str] = None, **kwargs):
+        # teacher_model_path is the reference's knob name (deep.py:950-954)
         super().__init__(**kwargs)
         self.filters = list(filters) if filters else [16, 16, 16]
-        self.teacher_model = teacher_model
+        self.teacher_model = teacher_model or teacher_model_path
         self.temperature = temperature
         self.alpha = alpha
         self._teacher_logits: Optional[np.ndarray] = None

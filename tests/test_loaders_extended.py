@@ -156,3 +156,54 @@ def test_mobilenet_embedder_smoke(tmp_path):
     assert e1.shape == (1280,)
     np.testing.assert_allclose(e1, e2, atol=1e-6)  # deterministic
     assert np.abs(e1).max() > 0
+
+
+def test_tabular_loader_formats(tmp_path):
+    """Multi-format TabularLoader (reference tabular_loader.py:110-260):
+    jsonl, sqlite (table autodetect + sql_query), drop_cols, max_rows,
+    integer label_col."""
+    import sqlite3
+
+    import pandas as pd
+
+    from audio_edge_ml_pipeline_tpu.data.loaders import TabularLoader
+
+    df = pd.DataFrame({"a": [1, 2, 3, 4], "b": [0.5, 0.6, 0.7, 0.8],
+                       "junk": list("wxyz"), "label": ["p", "q", "p", "q"]})
+    jl = tmp_path / "rows.jsonl"
+    jl.write_text("\n".join(df.to_json(orient="records", lines=True).splitlines()))
+    t = TabularLoader(jl, label_col="label", drop_cols=["junk"], max_rows=3)
+    rows = list(t)
+    assert len(t) == 3
+    assert rows[0][1] == "p" and "junk" not in rows[0][2] and rows[0][2]["a"] == 1
+
+    db = tmp_path / "rows.sqlite"
+    con = sqlite3.connect(db)
+    df.to_sql("samples", con, index=False)
+    con.close()
+    t2 = TabularLoader(db, label_col=3)  # integer label_col -> "label"
+    assert len(t2) == 4 and list(t2)[1][1] == "q"
+    t3 = TabularLoader(db, sql_query="SELECT a, label FROM samples WHERE a > 2", label_col="label")
+    assert len(t3) == 2 and set(list(t3)[0][2]) == {"a"}
+
+
+def test_text_csv_and_json_loader_extras(tmp_path):
+    """Delimiter sniffing / skip_header / index columns (text_loader.py:
+    216-226) and records_key dict roots (text_loader.py:146-193)."""
+    import json as _json
+
+    from audio_edge_ml_pipeline_tpu.data.loaders import TextCSVLoader, TextJSONLoader
+
+    csv = tmp_path / "docs.tsv"
+    csv.write_text("# exported\ndoc\tcat\nriver flows\twater\ntall tree\tforest\n")
+    t = TextCSVLoader(csv, text_col=0, label_col=1, skip_header=1)
+    rows = list(t)
+    assert len(t) == 2 and rows[0][1] == "water" and rows[0][2]["text"] == "river flows"
+
+    j = tmp_path / "wrapped.json"
+    j.write_text(_json.dumps({"meta": "x", "records": [
+        {"text": "one", "label": "a"}, {"text": "two", "label": "b"}]}))
+    tj = TextJSONLoader(j, records_key="records")
+    assert len(tj) == 2 and list(tj)[1][1] == "b"
+    tj2 = TextJSONLoader(j)  # first list-valued key found automatically
+    assert len(tj2) == 2

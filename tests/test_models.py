@@ -94,11 +94,38 @@ def test_knn_predict_does_not_retrace(flat_data, tmp_path):
     assert classical._knn_trace_count == before, "KNN retraced on a warm signature"
 
 
+def test_knn_cosine_metric(flat_data, tmp_path):
+    """metric='cosine' matches sklearn's cosine KNN (reference tuning grid
+    values minkowski | cosine, classical.py:339-352) and survives a
+    save/load round trip."""
+    from sklearn.neighbors import KNeighborsClassifier
+
+    Xtr, ytr, Xva, yva = flat_data
+    trainer = get_model("knn")(n_neighbors=5, metric="cosine")
+    trainer.fit(Xtr, ytr, Xva, yva, ["a", "b", "c"], "knn_cos", tmp_path / "knn_cos", None)
+    ref = KNeighborsClassifier(n_neighbors=5, metric="cosine").fit(Xtr, ytr)
+    np.testing.assert_array_equal(trainer.predict(Xva), ref.predict(Xva))
+    loaded = get_model("knn").load(tmp_path / "knn_cos" / "knn.npz")
+    assert loaded.metric == "cosine"
+    np.testing.assert_array_equal(loaded.predict(Xva), trainer.predict(Xva))
+
+
 def test_pca_pipelines(flat_data, tmp_path):
     Xtr, ytr, Xva, yva = flat_data
     trainer = get_model("pca_svm")(n_components=5)
     res = trainer.fit(Xtr, ytr, Xva, yva, ["a", "b", "c"], "pca_svm", tmp_path / "pca_svm", None)
     assert res.metrics["val_accuracy"] > 0.8
+
+
+def test_pca_lda_reference_knobs(flat_data, tmp_path):
+    """n_components_pca / n_components_lda are honored, not silently
+    swallowed by **_ (reference classical.py:448-470)."""
+    Xtr, ytr, Xva, yva = flat_data
+    trainer = get_model("pca_lda")(n_components_pca=4, n_components_lda=1)
+    trainer.fit(Xtr, ytr, Xva, yva, ["a", "b", "c"], "pca_lda_k", tmp_path / "pl", None)
+    pipe = trainer._estimator
+    assert pipe.named_steps["pca"].n_components == 4
+    assert pipe.named_steps["lda"].n_components == 1
 
 
 def test_kmeans(flat_data, tmp_path):
