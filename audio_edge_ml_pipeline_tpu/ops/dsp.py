@@ -24,6 +24,7 @@ TPU MXU runs the f32 passes rather than bf16.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -112,6 +113,80 @@ def n_frames_for(n_samples: int, hop_length: int) -> int:
     return 1 + n_samples // hop_length
 
 
+@functools.lru_cache(maxsize=None)
+def _folded_dft_bases(n_fft: int, window: str):
+    """MXU-aligned folded DFT bases (numpy constants, built once).
+
+    The windowed real-DFT basis is symmetric about the frame midpoint for
+    any symmetric window (periodic hann: h[n] = h[N-n]; cos even, sin odd),
+    so with p[n] = x[n] + x[N-n] and m[n] = x[n] - x[N-n]:
+
+        re = p_vec @ A.T + x[N/2] * wr_half        A:  (F, N/2)
+        im = m_vec @ B.T                           B:  (F, N/2)
+
+    — exactly half the MACs of the unfolded (2F, N) basis, and the N/2
+    contraction dim tiles the 128-lane MXU with zero padding waste (the
+    unfolded/odd layouts pad 257 -> 384). x[N/2] rides as a rank-1
+    correction so the contraction stays a clean power of two. Measured on
+    v5e (B=4096, 5 s clips): 54.0k clips/s vs 41.5k for the strided-conv
+    formulation, parity 4.8e-7 (scripts/fold_dft_experiment.py).
+
+    Returns (A_T, B_T, wr_half) as float32 numpy: (N/2, F), (N/2, F), (F,).
+    """
+    n_freq = 1 + n_fft // 2
+    half = n_fft // 2
+    basis = dft_bases(n_fft, window=window).astype(np.float64)
+    Wr, Wi = basis[:n_freq], basis[n_freq:]
+    assert np.allclose(Wr[:, 1:half], Wr[:, half + 1:][:, ::-1], atol=1e-12)
+    assert np.allclose(Wi[:, 1:half], -Wi[:, half + 1:][:, ::-1], atol=1e-12)
+    A = np.zeros((n_freq, half))
+    A[:, 0] = Wr[:, 0]
+    A[:, 1:] = Wr[:, 1:half]
+    B = np.zeros((n_freq, half))
+    B[:, 1:] = Wi[:, 1:half]
+    return (A.T.astype(np.float32), B.T.astype(np.float32),
+            Wr[:, half].astype(np.float32))
+
+
+def stft_re_im(
+    y: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    window: str = "hann",
+    pad_mode: str = "constant",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched windowed STFT via folded half-size GEMMs.
+
+    y: (B, n) float32 -> (re, im) each (B, T, n_freq) float32 (note the
+    frames-major layout: T before F keeps every GEMM transpose-free; the
+    callers swap axes once at the very end).
+    """
+    assert y.ndim == 2, "stft_re_im expects a (B, n) batch"
+    assert n_fft % 2 == 0
+    half = n_fft // 2
+    A_T, B_T, wr_half = _folded_dft_bases(n_fft, window)
+    pad = n_fft // 2
+    if pad_mode == "constant":
+        ypad = jnp.pad(y, ((0, 0), (pad, pad)))
+    elif pad_mode == "edge":
+        ypad = jnp.pad(y, ((0, 0), (pad, pad)), mode="edge")
+    else:
+        raise ValueError(pad_mode)
+    T = n_frames_for(y.shape[1], hop_length)
+    starts = np.arange(T) * hop_length
+    idx = jnp.asarray(starts[:, None] + np.arange(n_fft)[None, :])
+    frames = ypad[:, idx]                          # (B, T, n_fft)
+    front = frames[..., :half]                     # cols 0..half-1 (col0 = x0)
+    rev = jnp.pad(frames[..., half + 1:][..., ::-1], ((0, 0), (0, 0), (1, 0)))
+    center = frames[..., half]                     # (B, T)
+    re = lax.dot_general(front + rev, jnp.asarray(A_T),
+                         (((2,), (0,)), ((), ())), precision=HIGHEST)
+    re = re + center[..., None] * jnp.asarray(wr_half)
+    im = lax.dot_general(front - rev, jnp.asarray(B_T),
+                         (((2,), (0,)), ((), ())), precision=HIGHEST)
+    return re, im
+
+
 def stft_spectrum(
     y: jnp.ndarray,
     n_fft: int,
@@ -124,10 +199,11 @@ def stft_spectrum(
 
     y: (B, n) float32 -> (B, n_freq, n_frames) float32.
 
-    The windowed cos/sin DFT bases form a (2F, 1, n_fft) conv kernel applied
-    with stride=hop over the center-padded signal: the whole STFT is a single
-    convolution XLA tiles onto the systolic array.
-    """
+    This conv formulation is kept for the classical magnitude features:
+    rolloff's cumulative-energy threshold is a discrete bin pick, and its
+    ties are pinned to this path's rounding (the folded-GEMM path in
+    stft_re_im flips one-bin ties at ~5e-7 amplitude differences). The mel
+    pipeline uses stft_re_im, which is ~30% faster on v5e."""
     assert y.ndim == 2, "stft_spectrum expects a (B, n) batch"
     n_freq = 1 + n_fft // 2
     basis = jnp.asarray(dft_bases(n_fft, window=window))  # (2F, n_fft)
@@ -309,10 +385,16 @@ def melspectrogram(
     y: jnp.ndarray, sr: float, n_mels: int, n_fft: int, hop_length: int,
     fmin: float = 0.0, fmax: float | None = None,
 ) -> jnp.ndarray:
-    """(B, n) -> (B, n_mels, T) mel power spectrogram."""
-    S = stft_spectrum(y, n_fft, hop_length, power=2.0)
+    """(B, n) -> (B, n_mels, T) mel power spectrogram.
+
+    Stays in the frames-major (B, T, F) layout through power + mel so every
+    GEMM is transpose-free; the single swap to the (B, M, T) contract
+    layout happens on the small mel output."""
+    re, im = stft_re_im(y, n_fft, hop_length)
+    pw = re * re + im * im                               # (B, T, F)
     fb = jnp.asarray(mel_fb(sr, n_fft, n_mels, fmin=fmin, fmax=fmax))
-    return jnp.einsum("mf,bft->bmt", fb, S, precision=HIGHEST)
+    mel = lax.dot_general(pw, fb.T, (((2,), (0,)), ((), ())), precision=HIGHEST)
+    return jnp.swapaxes(mel, 1, 2)
 
 
 def mel_spec_feature(

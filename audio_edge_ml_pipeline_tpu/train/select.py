@@ -326,12 +326,12 @@ def main(argv=None) -> None:
         candidates = select_preopt(
             experiment=args.experiment, mlflow_uri=args.mlflow_uri,
             metric=metric, min_accuracy=args.min_accuracy, top_n=args.top_n,
-            features_eval_dir_override=args.features_eval_dir,
         )
         print_preopt_table(candidates, metric, args.top_n)
         if candidates:
             out = Path(args.output or "data/models/shortlist.json")
-            write_shortlist(candidates, out, args.experiment, metric)
+            write_shortlist(candidates, out, args.experiment, metric,
+                            features_eval_dir_override=args.features_eval_dir)
 
 
 if __name__ == "__main__":

@@ -66,8 +66,8 @@ def main() -> None:
         x = jnp.transpose(mel, (0, 2, 1))[..., None]
         return module.apply({"params": p}, x, train=False)
 
-    # batch sweep on v5e: 512 -> 35k, 1024 -> 38k, 2048 -> 40.5k,
-    # 4096 -> 41.6k clips/s (diminishing past 4k; ~6.5 GB peak HBM)
+    # batch sweep on v5e (conv-era: 512 -> 35k ... 4096 -> 41.6k clips/s);
+    # the folded-GEMM STFT (ops/dsp.py stft_re_im) lifted 4096 to 54.4k
     B = 4096
     waves = jax.device_put(jnp.asarray(np.tile(base, (B // len(base), 1))))
 

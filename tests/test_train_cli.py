@@ -134,12 +134,13 @@ runs:
     lda_runs = [x for x in runs if x.params.get("model") == "lda"]
     assert lda_runs and "cv_val_accuracy_mean" in lda_runs[0].metrics
 
-    # select CLI re-query
+    # select CLI re-query, with the per-candidate eval-dir override
     r2 = subprocess.run(
         [
             sys.executable, "-m", "audio_edge_ml_pipeline_tpu.train.select",
             "--experiment", "cli-sweep", "--top-n", "2",
             "--output", str(tmp_path / "sl2.json"),
+            "--features-eval-dir", str(feature_dirs / "synth_val"),
         ],
         capture_output=True, text=True, cwd=tmp_path, env=_cpu_env(),
     )
@@ -147,6 +148,10 @@ runs:
     assert "Shortlist #1" in r2.stdout
     sl2 = json.loads((tmp_path / "sl2.json").read_text())
     assert sl2["n_candidates"] == 2
+    assert all(
+        c["features_eval_dir"] == str(feature_dirs / "synth_val")
+        for c in sl2["candidates"]
+    )
 
 
 def test_class_filter_cli(feature_dirs, tmp_path):
