@@ -144,6 +144,11 @@ def _folded_dft_bases(n_fft: int, window: str):
     A[:, 1:] = Wr[:, 1:half]
     B = np.zeros((n_freq, half))
     B[:, 1:] = Wi[:, 1:half]
+    # im(DC) and im(Nyquist) are identically zero for real input; the
+    # numeric basis rows only carry sin(pi*n) rounding dust (~1e-13) — pin
+    # them to exact zeros so those bins stay bit-clean.
+    B[0, :] = 0.0
+    B[n_freq - 1, :] = 0.0
     return (A.T.astype(np.float32), B.T.astype(np.float32),
             Wr[:, half].astype(np.float32))
 

@@ -59,6 +59,31 @@ def test_stft_power_parity(batch16k):
     assert np.max(np.abs(S - ref) / scale) < 1e-6
 
 
+def test_stft_re_im_folded_parity(batch16k):
+    """The folded half-size-GEMM STFT must match the complex oracle bin-for-
+    bin — including the DC column, the Nyquist column, and the x[N/2]
+    rank-1 center correction that the fold splits out."""
+    y, sr = batch16k
+    re, im = dsp.stft_re_im(jnp.asarray(y[:2]), 512, 160)
+    got = np.asarray(re) + 1j * np.asarray(im)          # (B, T, F)
+    ref = _golden_stack(lambda c: g.stft(c, 512, 160).T, y[:2])
+    scale = np.abs(ref).max(axis=(1, 2), keepdims=True)
+    err = np.max(np.abs(got - ref) / scale)
+    assert err < 1e-6, f"folded stft parity {err:.3e}"
+    # the zero-imag bins stay exactly representable
+    assert np.max(np.abs(np.asarray(im)[..., 0])) == 0.0
+    assert np.max(np.abs(np.asarray(im)[..., -1])) == 0.0
+
+
+def test_stft_re_im_edge_pad(batch16k):
+    y, sr = batch16k
+    re, im = dsp.stft_re_im(jnp.asarray(y[:1]), 512, 160, pad_mode="edge")
+    got = np.asarray(re) + 1j * np.asarray(im)
+    ref = _golden_stack(lambda c: g.stft(c, 512, 160, pad_mode="edge").T, y[:1])
+    scale = np.abs(ref).max()
+    assert np.max(np.abs(got - ref)) / scale < 1e-6
+
+
 def test_mel_spec_feature_parity(batch16k):
     y, sr = batch16k
     out = np.asarray(dsp.mel_spec_feature(jnp.asarray(y), sr=sr))
