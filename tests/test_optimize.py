@@ -92,18 +92,26 @@ def trained_setup(tmp_path_factory):
     return root
 
 
-def test_optimize_cli_and_postopt(trained_setup, tmp_path):
+@pytest.fixture(scope="module")
+def optimized_out(trained_setup, tmp_path_factory):
+    """Run the optimize CLI once over the 2-candidate shortlist."""
     root = trained_setup
-    out = tmp_path / "optimized"
+    out = tmp_path_factory.mktemp("optimized")
     r = subprocess.run(
         [
             sys.executable, "-m", "audio_edge_ml_pipeline_tpu.optimize.optimize",
             "--shortlist", str(root / "shortlist.json"),
             "--output", str(out), "--max-accuracy-drop", "0.05", "--no-tracking",
         ],
-        capture_output=True, text=True, cwd=tmp_path, env=_cpu_env(),
+        capture_output=True, text=True, cwd=out, env=_cpu_env(),
     )
     assert r.returncode == 0, r.stderr
+    return out
+
+
+def test_optimize_cli_and_postopt(trained_setup, optimized_out, tmp_path):
+    root = trained_setup
+    out = optimized_out
     for name in ("cnn", "svm"):
         report = json.loads((out / name / "optimization_report.json").read_text())
         # full schema contract (reference optimize.py:229-249)
@@ -141,3 +149,67 @@ def test_optimize_cli_and_postopt(trained_setup, tmp_path):
     assert best["model"] in ("cnn", "svm")
     assert best["optimized_model_path"]
     assert "Best post-optimisation model" in r2.stdout
+
+
+def test_postopt_max_size_kb_filter(trained_setup, optimized_out, tmp_path):
+    """--max-size-kb is a hard gate (reference select.py post-opt): an
+    impossible budget must leave no qualifying model and write no file."""
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "audio_edge_ml_pipeline_tpu.train.select",
+            "--post-opt", "--shortlist", str(trained_setup / "shortlist.json"),
+            "--opt-dir", str(optimized_out), "--max-size-kb", "0.001",
+            "--output", str(tmp_path / "best_model.json"),
+        ],
+        capture_output=True, text=True, cwd=tmp_path, env=_cpu_env(),
+    )
+    assert r.returncode == 0, r.stderr
+    assert "No model qualified" in r.stdout
+    assert not (tmp_path / "best_model.json").exists()
+
+
+def test_single_model_mode_cli(trained_setup, tmp_path):
+    """--model-path bypasses the shortlist (reference optimize.py single-model
+    mode) and still emits the full report schema."""
+    root = trained_setup
+    bundles = list((root / "cnn_run").glob("*.npz"))
+    assert bundles, "expected a persisted cnn bundle"
+    out = tmp_path / "single"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "audio_edge_ml_pipeline_tpu.optimize.optimize",
+            "--model-path", str(bundles[0]), "--model-name", "cnn",
+            "--features", str(root / "calib"), "--features-eval", str(root / "eval"),
+            "--output", str(out), "--no-tracking",
+        ],
+        capture_output=True, text=True, cwd=tmp_path, env=_cpu_env(),
+    )
+    assert r.returncode == 0, r.stderr
+    report = json.loads((out / "cnn" / "optimization_report.json").read_text())
+    assert report["model_name"] == "cnn"
+    assert "dynamic_int8" in report["benchmark_results"]
+
+
+def test_eval_set_by_name_reencoding(trained_setup, tmp_path):
+    """An eval FeatureSet whose loader ordered label_names differently (and
+    grew an extra class) must be re-encoded by NAME against the calibration
+    order, dropping unknown classes (reference optimize.py:509-527)."""
+    from audio_edge_ml_pipeline_tpu.features.base import FeatureSet
+    from audio_edge_ml_pipeline_tpu.features.pipeline import FeaturePipeline
+    from audio_edge_ml_pipeline_tpu.optimize.optimize import _load_eval_set
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(8, 4)).astype(np.float32)
+    # eval loader order: c, a, d(unknown), b
+    y = np.array([0, 1, 2, 3, 0, 1, 2, 3], np.int32)
+    FeaturePipeline.save(
+        FeatureSet(features=X, feature_type="classical", modality="audio",
+                   metadata=[{} for _ in X], labels=y,
+                   label_names=["c", "a", "d", "b"]),
+        tmp_path / "eval_shuffled",
+    )
+    X_eval, y_eval = _load_eval_set(
+        str(tmp_path / "eval_shuffled"), ["a", "b", "c"], None, "test")
+    assert len(X_eval) == 6                      # the two 'd' rows dropped
+    # rows were c,a,b,c,a,b under training order a=0,b=1,c=2
+    assert y_eval.tolist() == [2, 0, 1, 2, 0, 1]
