@@ -84,9 +84,9 @@ def fake_quant_int8(arr: np.ndarray) -> tuple[np.ndarray, float, int, np.ndarray
 def fake_cast(arr: np.ndarray, dtype) -> tuple[np.ndarray, int]:
     """Round-trip cast (fp16 / bf16) returning (dequantized, nbytes)."""
     if dtype == "bfloat16":
-        import jax.numpy as jnp
+        import ml_dtypes  # numpy bfloat16 — no device round-trip needed
 
-        rt = np.asarray(jnp.asarray(arr).astype(jnp.bfloat16).astype(jnp.float32), dtype=arr.dtype)
+        rt = arr.astype(ml_dtypes.bfloat16).astype(arr.dtype)
         return rt, arr.size * 2
     rt = arr.astype(np.float16).astype(arr.dtype)
     return rt, arr.size * 2

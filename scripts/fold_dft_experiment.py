@@ -115,11 +115,41 @@ def main() -> None:
         mel_pow = jnp.einsum("mf,bft->bmt", fb, re * re + im * im, precision=HI)
         return _post(mel_pow)
 
+    # --- production (dsp.stft_re_im folded path) and no-frames variants ---
+    A_T, B_T, wr_half = dsp._folded_dft_bases(n_fft, "hann")
+    A_Tj, B_Tj, wr_j = jnp.asarray(A_T), jnp.asarray(B_T), jnp.asarray(wr_half)
+    fbT = jnp.asarray(np.asarray(fb).T)                     # (F, M)
+
+    def prod_mel(y):
+        return dsp.mel_spec_feature(y, sr=sr, n_mels=n_mels, n_fft=n_fft, hop_length=hop)
+
+    # direct front/rev gathers from ypad — no (B, T, 512) frames tensor.
+    # rev column 0 is structurally zero (x[N] belongs to the next frame);
+    # gather an in-bounds dummy there and mask it off.
+    idx_f = jnp.asarray(starts[:, None] + np.arange(half)[None, :])          # (T, 256)
+    rev_cols = np.concatenate([[n_fft], n_fft - np.arange(1, half)])
+    idx_r = jnp.asarray(starts[:, None] + rev_cols[None, :])                 # (T, 256)
+    rmask = jnp.asarray(np.r_[0.0, np.ones(half - 1)].astype(np.float32))
+    idx_c = jnp.asarray(starts + half)                                       # (T,)
+
+    def nofr_mel(y):
+        ypad = jnp.pad(y, ((0, 0), (pad, pad)))
+        front = ypad[:, idx_f]
+        rev = ypad[:, idx_r] * rmask
+        center = ypad[:, idx_c]
+        re = lax.dot_general(front + rev, A_Tj, (((2,), (0,)), ((), ())), precision=HI)
+        re = re + center[..., None] * wr_j
+        im = lax.dot_general(front - rev, B_Tj, (((2,), (0,)), ((), ())), precision=HI)
+        mel = lax.dot_general(re * re + im * im, fbT, (((2,), (0,)), ((), ())), precision=HI)
+        return _post(jnp.swapaxes(mel, 1, 2))
+
     # parity vs the float64 oracle on the 8-clip base
     want = np.stack([golden.mel_spec_feature(base[i], sr=sr, n_mels=n_mels,
                                              n_fft=n_fft, hop_length=hop)
                      for i in range(len(base))])
-    for name, fn in [("conv", conv_mel), ("gather", gather_mel), ("folded", folded_mel)]:
+    variants = [("conv", conv_mel), ("gather", gather_mel), ("folded", folded_mel),
+                ("prod", prod_mel), ("nofr", nofr_mel)]
+    for name, fn in variants:
         got = np.asarray(jax.jit(fn)(jnp.asarray(base)))
         print(f"parity {name:7s} max|d| = {np.max(np.abs(got - want)):.3e}")
 
@@ -138,8 +168,51 @@ def main() -> None:
             best = min(best, (time.perf_counter() - t0) / args.iters)
         return B / best
 
-    for name, fn in [("conv", conv_mel), ("gather", gather_mel), ("folded", folded_mel)]:
+    for name, fn in variants:
         print(f"throughput {name:7s} {timed(fn):,.0f} clips/s")
+
+    # --- stage breakdown (each stage timed standalone; sums exceed the
+    # fused whole because intermediates round-trip HBM here) ---
+    def stage_fold(y):
+        ypad = jnp.pad(y, ((0, 0), (pad, pad)))
+        front = ypad[:, idx_f]
+        rev = ypad[:, idx_r] * rmask
+        return front + rev, front - rev, ypad[:, idx_c]
+
+    f_fold = jax.jit(stage_fold)
+    pm = f_fold(waves)
+    jax.block_until_ready(pm)
+
+    def stage_gemms(p, m, center):
+        re = lax.dot_general(p, A_Tj, (((2,), (0,)), ((), ())), precision=HI)
+        re = re + center[..., None] * wr_j
+        im = lax.dot_general(m, B_Tj, (((2,), (0,)), ((), ())), precision=HI)
+        return re, im
+
+    f_gemms = jax.jit(stage_gemms)
+    reim = f_gemms(*pm)
+    jax.block_until_ready(reim)
+
+    def stage_melpost(re, im):
+        mel = lax.dot_general(re * re + im * im, fbT, (((2,), (0,)), ((), ())), precision=HI)
+        return _post(jnp.swapaxes(mel, 1, 2))
+
+    f_post = jax.jit(stage_melpost)
+    f_post(*reim).block_until_ready()
+
+    def timed_raw(f, *xs):
+        best = float("inf")
+        for _ in range(args.rounds):
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                out = f(*xs)
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / args.iters)
+        return best * 1e3
+
+    print(f"stage fold (pad+gathers+fold)     {timed_raw(f_fold, waves):7.2f} ms")
+    print(f"stage GEMMs (re/im, HIGHEST)      {timed_raw(f_gemms, *pm):7.2f} ms")
+    print(f"stage mel+power+dB+norm           {timed_raw(f_post, *reim):7.2f} ms")
 
 
 if __name__ == "__main__":
