@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..ops import dsp
@@ -25,6 +26,7 @@ class AudioMelSpectrogram(BatchedAudioExtractor):
 
     name = "audio_mel_spec"
     feature_type = "deep"
+    _time_major_device = True  # device emits (B, T, M); host swaps (base.py)
 
     def __init__(
         self,
@@ -50,16 +52,16 @@ class AudioMelSpectrogram(BatchedAudioExtractor):
 
             interpret = jax.default_backend() not in ("tpu", "axon")
             self._fn = jax.jit(
-                lambda w, l: mel_spec_feature_pallas(
+                lambda w, l: jnp.swapaxes(mel_spec_feature_pallas(
                     w, sr=sample_rate, n_mels=n_mels, n_fft=n_fft,
                     hop_length=hop_length, lengths=l, interpret=interpret,
-                )
+                ), 1, 2)
             )
         else:
             self._fn = jax.jit(
-                lambda w, l: dsp.mel_spec_feature(
+                lambda w, l: jnp.swapaxes(dsp.mel_spec_feature(
                     w, sr=sample_rate, n_mels=n_mels, n_fft=n_fft, hop_length=hop_length, lengths=l
-                )
+                ), 1, 2)
             )
 
     def min_samples(self) -> int:
@@ -95,6 +97,7 @@ class AudioCQT(BatchedAudioExtractor):
     name = "audio_cqt"
     feature_type = "deep"
     batch_size = 64  # large rFFT frames; keep device memory bounded
+    _time_major_device = True
 
     def __init__(
         self,
@@ -112,7 +115,7 @@ class AudioCQT(BatchedAudioExtractor):
         self.fmin = fmin
         self.duration = duration
         self._fn = jax.jit(
-            lambda w, l: dsp.cqt_feature(
+            lambda w, l: jnp.swapaxes(dsp.cqt_feature(
                 w,
                 sr=sample_rate,
                 hop_length=hop_length,
@@ -120,7 +123,7 @@ class AudioCQT(BatchedAudioExtractor):
                 bins_per_octave=bins_per_octave,
                 fmin=fmin,
                 lengths=l,
-            )
+            ), 1, 2)
         )
 
     def min_samples(self) -> int:
@@ -139,6 +142,7 @@ class AudioMFCCSequence(BatchedAudioExtractor):
 
     name = "audio_mfcc_seq"
     feature_type = "deep"
+    _time_major_device = True
 
     def __init__(
         self,
@@ -154,9 +158,9 @@ class AudioMFCCSequence(BatchedAudioExtractor):
         self.hop_length = hop_length
         self.duration = duration
         self._fn = jax.jit(
-            lambda w, l: dsp.mfcc_seq_feature(
+            lambda w, l: jnp.swapaxes(dsp.mfcc_seq_feature(
                 w, sr=sample_rate, n_mfcc=n_mfcc, n_fft=n_fft, hop_length=hop_length, lengths=l
-            )
+            ), 1, 2)
         )
 
     def min_samples(self) -> int:

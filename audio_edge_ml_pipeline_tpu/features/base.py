@@ -232,9 +232,22 @@ class BatchedAudioExtractor(BaseFeatureExtractor):
             y = np.pad(y, (0, self.min_samples() - len(y)))
         return y
 
+    # Framed extractors (mel/cqt/mfcc_seq) produce (B, T, F) on DEVICE —
+    # XLA's natural output layout — and swap to the (B, F, T) contract on
+    # host. Fetching a device-side-transposed result costs a relayout on
+    # the remote runtime (measured 3.3-5 s per 41 MB fetch vs 1.5 s for
+    # the time-major layout on the tunneled v5e); a host numpy swapaxes is
+    # free by comparison.
+    _time_major_device = False
+
+    def _host_layout(self, out: np.ndarray) -> np.ndarray:
+        if self._time_major_device and out.ndim == 3:
+            return np.swapaxes(out, 1, 2)
+        return out
+
     def extract(self, sample_path, start_time=None, end_time=None, **_kw) -> np.ndarray:
         y = self._load_clip(sample_path, start_time, end_time)
-        out = np.asarray(self.batch_feature(y[None, :], None))[0]
+        out = self._host_layout(np.asarray(self.batch_feature(y[None, :], None)))[0]
         return out.astype(np.float32)
 
     # -- batched dataset path -------------------------------------------
@@ -246,7 +259,7 @@ class BatchedAudioExtractor(BaseFeatureExtractor):
 
         n_dev = jax.device_count()
         if n_dev <= 1:
-            return np.asarray(self.batch_feature(waves, lengths))
+            return self._host_layout(np.asarray(self.batch_feature(waves, lengths)))
         from ..parallel.mesh import batch_sharding, get_mesh
 
         mesh = getattr(self, "_mesh", None)
@@ -262,7 +275,7 @@ class BatchedAudioExtractor(BaseFeatureExtractor):
         sharding = batch_sharding(mesh)
         waves_d = jax.device_put(waves, sharding)
         lengths_d = jax.device_put(lengths, sharding) if lengths is not None else None
-        out = np.asarray(self.batch_feature(waves_d, lengths_d))
+        out = self._host_layout(np.asarray(self.batch_feature(waves_d, lengths_d)))
         return out[:n]
 
     def _pad_bucket(self, n: int) -> int:
