@@ -71,16 +71,29 @@ def main() -> None:
     B = 4096
     waves = jax.device_put(jnp.asarray(np.tile(base, (B // len(base), 1))))
 
+    def _barrier(out):
+        # block_until_ready has been observed returning before the device
+        # actually finishes on the tunneled backend (async bookkeeping);
+        # fetching one scalar forces real completion (in-order stream, so
+        # the last dispatch completing implies all prior ones did).
+        out.block_until_ready()
+        np.asarray(jax.device_get(out.ravel()[0]))
+
     def timed(fn, *args, iters=10, rounds=5):
-        fn(*args).block_until_ready()  # compile
-        best = float("inf")
-        for _ in range(rounds):
+        _barrier(fn(*args))  # compile + absorb first-fetch warmup
+
+        def loop(k):
             t0 = time.perf_counter()
-            for _ in range(iters):
+            for _ in range(k):
                 out = fn(*args)
-            out.block_until_ready()
-            best = min(best, (time.perf_counter() - t0) / iters)
-        return best
+            _barrier(out)
+            return time.perf_counter() - t0
+
+        # the barrier itself costs a tunnel round trip; difference the best
+        # k-iter and 2k-iter loops so that fixed cost cancels exactly
+        best1 = min(loop(iters) for _ in range(rounds))
+        best2 = min(loop(2 * iters) for _ in range(rounds))
+        return max(best2 - best1, 1e-9) / iters
 
     clips_per_sec = B / timed(pipeline, params, waves)
 
