@@ -179,11 +179,20 @@ def stft_re_im(
         raise ValueError(pad_mode)
     T = n_frames_for(y.shape[1], hop_length)
     starts = np.arange(T) * hop_length
-    idx = jnp.asarray(starts[:, None] + np.arange(n_fft)[None, :])
-    frames = ypad[:, idx]                          # (B, T, n_fft)
-    front = frames[..., :half]                     # cols 0..half-1 (col0 = x0)
-    rev = jnp.pad(frames[..., half + 1:][..., ::-1], ((0, 0), (0, 0), (1, 0)))
-    center = frames[..., half]                     # (B, T)
+    # Gather the front half and the reversed back half of each frame
+    # DIRECTLY from the padded signal — never materializing the (B, T,
+    # n_fft) frames tensor (whose HBM round trip dominated: measured
+    # 56.1k -> 77.1k clips/s on v5e, B=4096, scripts/fold_dft_experiment).
+    # rev column 0 is structurally zero (x[start + n_fft] belongs to the
+    # next frame); gather an in-bounds dummy there and mask it off.
+    idx_front = jnp.asarray(starts[:, None] + np.arange(half)[None, :])
+    rev_cols = np.concatenate([[n_fft], n_fft - np.arange(1, half)])
+    idx_rev = jnp.asarray(np.minimum(starts[:, None] + rev_cols[None, :],
+                                     ypad.shape[1] - 1))
+    rmask = jnp.asarray(np.r_[0.0, np.ones(half - 1)].astype(np.float32))
+    front = ypad[:, idx_front]                     # (B, T, half)
+    rev = ypad[:, idx_rev] * rmask
+    center = ypad[:, jnp.asarray(starts + half)]   # (B, T)
     re = lax.dot_general(front + rev, jnp.asarray(A_T),
                          (((2,), (0,)), ((), ())), precision=HIGHEST)
     re = re + center[..., None] * jnp.asarray(wr_half)

@@ -67,7 +67,8 @@ def main() -> None:
         return module.apply({"params": p}, x, train=False)
 
     # batch sweep on v5e (conv-era: 512 -> 35k ... 4096 -> 41.6k clips/s);
-    # the folded-GEMM STFT (ops/dsp.py stft_re_im) lifted 4096 to 54.4k
+    # folded-GEMM STFT lifted 4096 to 54.4k; gathering the folded halves
+    # directly (no frames-tensor HBM round trip) to 78.5k (dsp.stft_re_im)
     B = 4096
     waves = jax.device_put(jnp.asarray(np.tile(base, (B // len(base), 1))))
 

@@ -172,7 +172,9 @@ def main() -> None:
         print(f"throughput {name:7s} {timed(fn):,.0f} clips/s")
 
     # --- stage breakdown (each stage timed standalone; sums exceed the
-    # fused whole because intermediates round-trip HBM here) ---
+    # fused whole because intermediates round-trip HBM here). Quarter batch:
+    # holding p/m/re/im as real outputs at full B exhausts HBM. ---
+    waves = waves[: max(args.batch // 4, 8)]
     def stage_fold(y):
         ypad = jnp.pad(y, ((0, 0), (pad, pad)))
         front = ypad[:, idx_f]
