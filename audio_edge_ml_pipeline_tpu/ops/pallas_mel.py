@@ -116,6 +116,89 @@ def mel_power_pallas(
     return jnp.transpose(mel, (0, 2, 1))
 
 
+def _mel_folded_kernel(p_ref, m_ref, c_ref, A_ref, B_ref, wr_ref, fb_ref, out_ref):
+    """Folded-GEMM mel tile: (TILE_T, 256) p/m streams -> (TILE_T, n_mels).
+
+    re/im/power live only in VMEM/registers — with the XLA path they are
+    three (B, T, F) HBM round trips. Inputs are the same direct front/rev
+    gathers the production stft_re_im uses (dsp.py), so no frames tensor
+    materializes on the XLA side either.
+    """
+    re = jnp.dot(
+        p_ref[:, :], A_ref[:, :],
+        preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST,
+    )
+    re = re + c_ref[:, :1] * wr_ref[0:1, :]
+    im = jnp.dot(
+        m_ref[:, :], B_ref[:, :],
+        preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST,
+    )
+    power = re * re + im * im  # (TILE_T, F_pad); lanes >= n_freq are zero
+    out_ref[:, :] = jnp.dot(
+        power, fb_ref[:, :],
+        preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST,
+    )
+
+
+@partial(jax.jit, static_argnames=("sr", "n_mels", "n_fft", "hop_length", "interpret"))
+def mel_power_pallas_folded(
+    y: jnp.ndarray,
+    sr: int = 16000,
+    n_mels: int = 40,
+    n_fft: int = 512,
+    hop_length: int = 160,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, n) -> (B, n_mels, T) mel power via the folded-GEMM Pallas core."""
+    B, n = y.shape
+    half = n_fft // 2
+    n_freq = 1 + half
+    T = 1 + n // hop_length
+    T_pad = _round_up(T, TILE_T)
+    f_pad = _round_up(n_freq, 128)
+
+    pad = n_fft // 2
+    ypad = jnp.pad(y, ((0, 0), (pad, pad)))
+    starts = np.arange(T_pad) * hop_length
+    limit = n + 2 * pad - 1
+    idx_front = np.minimum(starts[:, None] + np.arange(half)[None, :], limit)
+    rev_cols = np.concatenate([[n_fft], n_fft - np.arange(1, half)])
+    idx_rev = np.minimum(starts[:, None] + rev_cols[None, :], limit)
+    idx_center = np.minimum(starts + half, limit)
+    rmask = jnp.asarray(np.r_[0.0, np.ones(half - 1)].astype(np.float32))
+    front = ypad[:, jnp.asarray(idx_front)]
+    rev = ypad[:, jnp.asarray(idx_rev)] * rmask
+    p = (front + rev).reshape(B * T_pad, half)
+    m = (front - rev).reshape(B * T_pad, half)
+    center = ypad[:, jnp.asarray(idx_center)].reshape(B * T_pad, 1)
+
+    A_T, B_T, wr_half = dsp._folded_dft_bases(n_fft, "hann")
+    A_pad = np.zeros((half, f_pad), np.float32); A_pad[:, :n_freq] = A_T
+    B_pad = np.zeros((half, f_pad), np.float32); B_pad[:, :n_freq] = B_T
+    wr_pad = np.zeros((1, f_pad), np.float32); wr_pad[0, :n_freq] = wr_half
+    fb = ref.mel_filterbank(sr, n_fft, n_mels).astype(np.float32)  # (M, F)
+    fb_pad = np.zeros((f_pad, n_mels), np.float32); fb_pad[:n_freq, :] = fb.T
+
+    out = pl.pallas_call(
+        _mel_folded_kernel,
+        grid=(B * T_pad // TILE_T,),
+        in_specs=[
+            pl.BlockSpec((TILE_T, half), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_T, half), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_T, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((half, f_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((half, f_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_pad, n_mels), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_T, n_mels), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * T_pad, n_mels), jnp.float32),
+        interpret=interpret,
+    )(p, m, center, jnp.asarray(A_pad), jnp.asarray(B_pad), jnp.asarray(wr_pad), jnp.asarray(fb_pad))
+    mel = out.reshape(B, T_pad, n_mels)[:, :T, :]
+    return jnp.transpose(mel, (0, 2, 1))
+
+
 def mel_spec_feature_pallas(
     y: jnp.ndarray,
     sr: int = 16000,
@@ -125,8 +208,12 @@ def mel_spec_feature_pallas(
     lengths: jnp.ndarray | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """audio_mel_spec contract with the fused Pallas mel core."""
-    mel = mel_power_pallas(y, sr=sr, n_mels=n_mels, n_fft=n_fft, hop_length=hop_length, interpret=interpret)
+    """audio_mel_spec contract with the fused Pallas mel core.
+
+    Routes through the folded kernel (42.3k clips/s on v5e B=4096 vs 41k
+    for the v1 frames-matmul kernel — both lose to the XLA folded-gather
+    path at 81k; this stays as bench.py's honest A/B competitor)."""
+    mel = mel_power_pallas_folded(y, sr=sr, n_mels=n_mels, n_fft=n_fft, hop_length=hop_length, interpret=interpret)
     mask = dsp.frame_mask(mel.shape[-1], lengths, hop_length, y.shape[0])
     log_mel = dsp.power_to_db(mel, ref_mode="max", mask=mask)
     return dsp.minmax_normalize(log_mel, mask=mask).astype(jnp.float32)
