@@ -11,7 +11,6 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..ops import dsp
@@ -26,7 +25,6 @@ class AudioMelSpectrogram(BatchedAudioExtractor):
 
     name = "audio_mel_spec"
     feature_type = "deep"
-    _time_major_device = True  # device emits (B, T, M); host swaps (base.py)
 
     def __init__(
         self,
@@ -45,23 +43,23 @@ class AudioMelSpectrogram(BatchedAudioExtractor):
         self.backend = backend
         if backend == "pallas":
             # fused Pallas mel core (ops/pallas_mel.py); numerically
-            # equivalent. bench.py A/B on v5e (B=4096, 5 s clips): XLA conv
-            # path 42.8k clips/s vs Pallas 40.8k -> xla stays the default;
-            # re-measured every round in BENCH_r*.json (mel_backend_winner)
+            # equivalent. bench.py A/B on v5e (B=4096, 5 s clips): XLA
+            # folded-gather path 81.4k clips/s vs Pallas 42.3k -> xla stays
+            # the default; re-measured every round in BENCH_r*.json
             from ..ops.pallas_mel import mel_spec_feature_pallas
 
             interpret = jax.default_backend() not in ("tpu", "axon")
-            self._fn = jax.jit(
-                lambda w, l: jnp.swapaxes(mel_spec_feature_pallas(
+            self._fn = self._jit_time_major(
+                lambda w, l: mel_spec_feature_pallas(
                     w, sr=sample_rate, n_mels=n_mels, n_fft=n_fft,
                     hop_length=hop_length, lengths=l, interpret=interpret,
-                ), 1, 2)
+                )
             )
         else:
-            self._fn = jax.jit(
-                lambda w, l: jnp.swapaxes(dsp.mel_spec_feature(
+            self._fn = self._jit_time_major(
+                lambda w, l: dsp.mel_spec_feature(
                     w, sr=sample_rate, n_mels=n_mels, n_fft=n_fft, hop_length=hop_length, lengths=l
-                ), 1, 2)
+                )
             )
 
     def min_samples(self) -> int:
@@ -97,7 +95,6 @@ class AudioCQT(BatchedAudioExtractor):
     name = "audio_cqt"
     feature_type = "deep"
     batch_size = 64  # large rFFT frames; keep device memory bounded
-    _time_major_device = True
 
     def __init__(
         self,
@@ -114,8 +111,8 @@ class AudioCQT(BatchedAudioExtractor):
         self.bins_per_octave = bins_per_octave
         self.fmin = fmin
         self.duration = duration
-        self._fn = jax.jit(
-            lambda w, l: jnp.swapaxes(dsp.cqt_feature(
+        self._fn = self._jit_time_major(
+            lambda w, l: dsp.cqt_feature(
                 w,
                 sr=sample_rate,
                 hop_length=hop_length,
@@ -123,7 +120,7 @@ class AudioCQT(BatchedAudioExtractor):
                 bins_per_octave=bins_per_octave,
                 fmin=fmin,
                 lengths=l,
-            ), 1, 2)
+            )
         )
 
     def min_samples(self) -> int:
@@ -142,7 +139,6 @@ class AudioMFCCSequence(BatchedAudioExtractor):
 
     name = "audio_mfcc_seq"
     feature_type = "deep"
-    _time_major_device = True
 
     def __init__(
         self,
@@ -157,10 +153,10 @@ class AudioMFCCSequence(BatchedAudioExtractor):
         self.n_fft = n_fft
         self.hop_length = hop_length
         self.duration = duration
-        self._fn = jax.jit(
-            lambda w, l: jnp.swapaxes(dsp.mfcc_seq_feature(
+        self._fn = self._jit_time_major(
+            lambda w, l: dsp.mfcc_seq_feature(
                 w, sr=sample_rate, n_mfcc=n_mfcc, n_fft=n_fft, hop_length=hop_length, lengths=l
-            ), 1, 2)
+            )
         )
 
     def min_samples(self) -> int:

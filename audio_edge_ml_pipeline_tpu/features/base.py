@@ -240,6 +240,18 @@ class BatchedAudioExtractor(BaseFeatureExtractor):
     # free by comparison.
     _time_major_device = False
 
+    def _jit_time_major(self, fn):
+        """jit ``fn(waves, lengths) -> (B, F, T)`` with a trailing swap to
+        (B, T, F) INSIDE the jit (XLA cancels fn's own internal transpose,
+        so the compiled program's output is the natural layout) and set the
+        flag that makes ``_host_layout`` swap back on host — one call sets
+        both sides of the contract so they cannot drift apart."""
+        import jax
+        import jax.numpy as jnp
+
+        self._time_major_device = True
+        return jax.jit(lambda w, l: jnp.swapaxes(fn(w, l), 1, 2))
+
     def _host_layout(self, out: np.ndarray) -> np.ndarray:
         if self._time_major_device and out.ndim == 3:
             return np.swapaxes(out, 1, 2)

@@ -167,7 +167,11 @@ def stft_re_im(
     callers swap axes once at the very end).
     """
     assert y.ndim == 2, "stft_re_im expects a (B, n) batch"
-    assert n_fft % 2 == 0
+    if n_fft % 2:
+        raise ValueError(
+            f"stft_re_im requires even n_fft (got {n_fft}): the fold pairs "
+            "x[n] with x[n_fft-n]. Use stft_spectrum for odd sizes."
+        )
     half = n_fft // 2
     A_T, B_T, wr_half = _folded_dft_bases(n_fft, window)
     pad = n_fft // 2
@@ -403,10 +407,14 @@ def melspectrogram(
 
     Stays in the frames-major (B, T, F) layout through power + mel so every
     GEMM is transpose-free; the single swap to the (B, M, T) contract
-    layout happens on the small mel output."""
+    layout happens on the small mel output. Odd n_fft (no symmetric fold)
+    falls back to the strided-conv spectrum."""
+    fb = jnp.asarray(mel_fb(sr, n_fft, n_mels, fmin=fmin, fmax=fmax))
+    if n_fft % 2:
+        S = stft_spectrum(y, n_fft, hop_length, power=2.0)   # (B, F, T)
+        return jnp.einsum("mf,bft->bmt", fb, S, precision=HIGHEST)
     re, im = stft_re_im(y, n_fft, hop_length)
     pw = re * re + im * im                               # (B, T, F)
-    fb = jnp.asarray(mel_fb(sr, n_fft, n_mels, fmin=fmin, fmax=fmax))
     mel = lax.dot_general(pw, fb.T, (((2,), (0,)), ((), ())), precision=HIGHEST)
     return jnp.swapaxes(mel, 1, 2)
 

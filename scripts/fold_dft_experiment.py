@@ -89,7 +89,11 @@ def main() -> None:
         return dsp.minmax_normalize(logm).astype(jnp.float32)
 
     def conv_mel(y):
-        return dsp.mel_spec_feature(y, sr=sr, n_mels=n_mels, n_fft=n_fft, hop_length=hop)
+        # the original strided-conv formulation (dsp.mel_spec_feature now
+        # routes through the folded-gather path — see prod_mel for that)
+        S = dsp.stft_spectrum(y, n_fft, hop, power=2.0)
+        mel = jnp.einsum("mf,bft->bmt", fb, S, precision=HI)
+        return _post(mel)
 
     def gather_mel(y):
         ypad = jnp.pad(y, ((0, 0), (pad, pad)))

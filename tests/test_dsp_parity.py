@@ -15,8 +15,9 @@ from audio_edge_ml_pipeline_tpu.ops import golden as g
 
 
 @pytest.fixture(scope="module")
-def batch16k(rng):
+def batch16k():
     """8 heterogeneous 5 s clips @ 16 kHz."""
+    rng = np.random.default_rng(16)
     sr, n = 16000, 80000
     t = np.arange(n) / sr
     clips = []
@@ -33,7 +34,8 @@ def batch16k(rng):
 
 
 @pytest.fixture(scope="module")
-def batch22k(rng):
+def batch22k():
+    rng = np.random.default_rng(22)
     sr, n = 22050, 66150  # 3 s
     t = np.arange(n) / sr
     clips = []

@@ -11,7 +11,7 @@ from audio_edge_ml_pipeline_tpu.utils import tracking
 
 
 @pytest.fixture(scope="module")
-def flat_data(rng):
+def flat_data():
     """3 gaussian blobs in 20-d."""
     X, y = [], []
     r = np.random.default_rng(3)
