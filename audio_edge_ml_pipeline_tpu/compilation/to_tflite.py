@@ -183,9 +183,13 @@ def compile_model(
         else:
             X_calib = calib_fs.features
             filtered_labels = sorted(set(class_filter) & set(label_names)) or sorted(class_filter)
-        X_val, y_val, filtered_labels = apply_class_filter_canonical(
-            val_fs.features, val_fs.labels, list(val_fs.label_names or []), class_filter, "tflite-val"
+        # Encode val labels BY NAME against the canonical (training-time)
+        # list: deriving the list from the val set instead would shift every
+        # label code whenever a filtered class happens to be absent there.
+        keep, y_val = encode_labels_by_name(
+            val_fs.labels, list(val_fs.label_names or []), filtered_labels
         )
+        X_val = val_fs.features[keep]
     else:
         X_calib, filtered_labels = calib_fs.features, label_names
         X_val, y_val = val_fs.features, val_fs.labels

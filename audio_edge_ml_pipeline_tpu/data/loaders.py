@@ -410,9 +410,17 @@ class TabularLoader(BaseDatasetLoader):
                 if sql_query:
                     query = sql_query
                 else:
-                    table = sqlite_table or con.execute(
-                        "SELECT name FROM sqlite_master WHERE type='table' LIMIT 1"
-                    ).fetchone()[0]
+                    table = sqlite_table
+                    if not table:
+                        row = con.execute(
+                            "SELECT name FROM sqlite_master WHERE type='table' LIMIT 1"
+                        ).fetchone()
+                        if row is None:
+                            raise ValueError(
+                                f"{p}: sqlite database has no tables; pass "
+                                "sqlite_table= or sql_query="
+                            )
+                        table = row[0]
                     limit = f" LIMIT {int(max_rows)}" if max_rows else ""
                     query = f'SELECT * FROM "{table}"{limit}'
                 df = pd.read_sql_query(query, con, **kw)

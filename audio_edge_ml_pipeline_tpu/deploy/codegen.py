@@ -122,6 +122,15 @@ class ModelToC:
             load_any_bundle(self.bundle_path)
         )
         self.labels = list(labels)
+        n_classes = int(self.arch.get("n_classes", 0))
+        if n_classes and len(self.labels) != n_classes:
+            # firmware argmaxes over MODEL_N_CLASSES then prints LABELS[best]
+            # — a shorter label list would read past the array on device
+            raise ValueError(
+                f"{len(self.labels)} label(s) for a {n_classes}-class model "
+                f"({self.bundle_path.name}); check --labels/--class-filter "
+                "against the training-time class list"
+            )
         self.sample_rate = sample_rate
         self.n_mels = n_mels
         self.n_fft = n_fft

@@ -40,9 +40,16 @@ def load_labels(args) -> list[str]:
             if args.class_filter:
                 # explicit CLI filter wins over the report's (deploy.py:164-166);
                 # canonical class-name-sorted encoding (tune.py contract)
-                kept = sorted(n for n in names if n in set(args.class_filter))
+                wanted = set(args.class_filter)
+                kept = sorted(n for n in names if n in wanted)
                 if not kept:
                     raise SystemExit(f"--class-filter matched none of {names}")
+                unknown = sorted(wanted.difference(names))
+                if unknown:
+                    logger.warning(
+                        "--class-filter entries not in label_names.json "
+                        "(typo?): %s", unknown,
+                    )
                 logger.info("Labels filtered by --class-filter: %s", kept)
                 return kept
             if args.report:

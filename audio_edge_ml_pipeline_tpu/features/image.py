@@ -58,29 +58,35 @@ def _crop_bbox(img, bbox_norm):
 # ----------------------------------------------------------------------
 
 
-def hog_features(gray: np.ndarray, orientations: int = 9, cell: int = 8, block: int = 2) -> np.ndarray:
-    """Histogram of oriented gradients with L2-Hys block normalization."""
+def hog_features(gray: np.ndarray, orientations: int = 9, cell=8, block=2) -> np.ndarray:
+    """Histogram of oriented gradients with L2-Hys block normalization.
+
+    ``cell`` / ``block`` accept an int or an (h, w) pair — rectangular
+    geometry matches the reference's skimage knobs (image/classical.py
+    pixels_per_cell / cells_per_block)."""
+    ch, cw = (cell, cell) if np.isscalar(cell) else (int(cell[0]), int(cell[1]))
+    bh, bw = (block, block) if np.isscalar(block) else (int(block[0]), int(block[1]))
     gy, gx = np.gradient(gray)
     mag = np.hypot(gx, gy)
     ang = np.rad2deg(np.arctan2(gy, gx)) % 180.0
     H, W = gray.shape
-    n_cy, n_cx = H // cell, W // cell
-    mag = mag[: n_cy * cell, : n_cx * cell]
-    ang = ang[: n_cy * cell, : n_cx * cell]
+    n_cy, n_cx = H // ch, W // cw
+    mag = mag[: n_cy * ch, : n_cx * cw]
+    ang = ang[: n_cy * ch, : n_cx * cw]
     bin_w = 180.0 / orientations
     b0 = np.floor(ang / bin_w).astype(int) % orientations
     frac = ang / bin_w - np.floor(ang / bin_w)
     b1 = (b0 + 1) % orientations
     hist = np.zeros((n_cy, n_cx, orientations))
-    cy_idx = np.repeat(np.arange(n_cy), cell)[:, None] * np.ones((1, n_cx * cell), int)
-    cx_idx = np.ones((n_cy * cell, 1), int) * np.repeat(np.arange(n_cx), cell)[None, :]
+    cy_idx = np.repeat(np.arange(n_cy), ch)[:, None] * np.ones((1, n_cx * cw), int)
+    cx_idx = np.ones((n_cy * ch, 1), int) * np.repeat(np.arange(n_cx), cw)[None, :]
     np.add.at(hist, (cy_idx, cx_idx, b0), mag * (1 - frac))
     np.add.at(hist, (cy_idx, cx_idx, b1), mag * frac)
     # block normalization (L2-Hys)
     blocks = []
-    for by in range(n_cy - block + 1):
-        for bx in range(n_cx - block + 1):
-            v = hist[by : by + block, bx : bx + block].ravel()
+    for by in range(n_cy - bh + 1):
+        for bx in range(n_cx - bw + 1):
+            v = hist[by : by + bh, bx : bx + bw].ravel()
             v = v / np.sqrt(np.sum(v**2) + 1e-12)
             v = np.minimum(v, 0.2)
             v = v / np.sqrt(np.sum(v**2) + 1e-12)
@@ -148,8 +154,8 @@ def glcm_stats(gray: np.ndarray, levels: int = 32) -> np.ndarray:
     return np.array([contrast, dissim, homog, energy, corr, asm], dtype=np.float32)
 
 
-def classical_image_vector(gray: np.ndarray, orientations: int = 9, cell: int = 8,
-                           block: int = 2, lbp_points: int = 24, lbp_radius: float = 3.0,
+def classical_image_vector(gray: np.ndarray, orientations: int = 9, cell=8,
+                           block=2, lbp_points: int = 24, lbp_radius: float = 3.0,
                            n_hist_bins: int = 64) -> np.ndarray:
     hog = hog_features(gray, orientations=orientations, cell=cell, block=block)
     lbp = lbp_histogram(gray, P=lbp_points, R=lbp_radius)
@@ -193,8 +199,8 @@ class ImageClassicalExtractor(BaseFeatureExtractor):
     def extract(self, sample_path, bbox_norm=None, **_kw) -> np.ndarray:
         gray = _load_gray(sample_path, self.resize_to, bbox_norm)
         return classical_image_vector(
-            gray, orientations=self.hog_orientations, cell=self.hog_pixels_per_cell[0],
-            block=self.hog_cells_per_block[0], lbp_points=self.lbp_n_points,
+            gray, orientations=self.hog_orientations, cell=self.hog_pixels_per_cell,
+            block=self.hog_cells_per_block, lbp_points=self.lbp_n_points,
             lbp_radius=self.lbp_radius, n_hist_bins=self.n_hist_bins,
         )
 

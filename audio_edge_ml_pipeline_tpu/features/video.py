@@ -92,8 +92,8 @@ class VideoClassicalExtractor(BaseFeatureExtractor):
         frames = _open_and_sample(sample_path, self.max_frames, self.resize_to, gray=True)
         per_frame = np.stack([
             classical_image_vector(
-                f, orientations=self.hog_orientations, cell=self.hog_pixels_per_cell[0],
-                block=self.hog_cells_per_block[0], lbp_points=self.lbp_n_points,
+                f, orientations=self.hog_orientations, cell=self.hog_pixels_per_cell,
+                block=self.hog_cells_per_block, lbp_points=self.lbp_n_points,
                 lbp_radius=self.lbp_radius, n_hist_bins=self.n_hist_bins,
             )
             for f in frames

@@ -637,8 +637,13 @@ class FlaxTrainer(BaseTrainer):
         for epoch in range(start_epoch, self.epochs):
             perm = np_rng.permutation(n)
             opt_state.hyperparams["learning_rate"] = jnp.asarray(current_lr, jnp.float32)
-            # (steps, bs) index/weight matrices; short last batch zero-weighted
-            idx_mat = np.zeros((steps, bs), np.int32)
+            # (steps, bs) index/weight matrices; short last batch zero-
+            # weighted for loss/grads, padded with WRAP-AROUND samples from
+            # this epoch's permutation (not repeats of index 0): BatchNorm
+            # batch_stats see every row regardless of weight, and a batch
+            # dominated by one duplicated sample would skew the running
+            # stats (bites ds_cnn, whose collections are mutated each step)
+            idx_mat = np.resize(perm, (steps, bs)).astype(np.int32)  # cycles perm
             w_mat = np.zeros((steps, bs), np.float32)
             for s in range(steps):
                 sl = perm[s * bs : (s + 1) * bs]

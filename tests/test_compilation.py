@@ -109,6 +109,43 @@ def test_to_tflite_forced_mode_and_config(mlp_setup, tmp_path):
     assert np.load(out / "deploy" / "mel_filterbank.npy").shape == (32, 257)
 
 
+def test_to_tflite_class_filter_missing_val_class(mlp_setup, tmp_path):
+    """A filtered class absent from the val set must NOT shift label codes:
+    the canonical list comes from the training-time filter, and val labels
+    are re-encoded by name against it (regression: deriving the list from
+    the val set mapped class 'c' to code 1 while the model emits it at 2)."""
+    from audio_edge_ml_pipeline_tpu.features.base import FeatureSet
+    from audio_edge_ml_pipeline_tpu.features.pipeline import FeaturePipeline
+
+    root = mlp_setup
+    val = FeaturePipeline.load(root / "val")
+    keep = val.labels != 1  # drop every 'b' sample
+    FeaturePipeline.save(
+        FeatureSet(features=val.features[keep], feature_type="classical",
+                   modality="audio", metadata=[{} for _ in range(int(keep.sum()))],
+                   labels=val.labels[keep], label_names=["a", "b", "c"]),
+        tmp_path / "val_no_b",
+    )
+    out = tmp_path / "cf"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "audio_edge_ml_pipeline_tpu.compilation.to_tflite",
+            "--model", str(root / "run" / "model.flax.npz"),
+            "--features", str(root / "val"),
+            "--features-val", str(tmp_path / "val_no_b"),
+            "--output", str(out), "--max-accuracy-drop", "0.05",
+            "--class-filter", "a", "b", "c",
+        ],
+        capture_output=True, text=True, env=_cpu_env(), cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    report = json.loads((out / "compilation_report.json").read_text())
+    assert report["n_classes"] == 3  # canonical training-time list, not val's 2
+    assert json.loads((out / "deploy" / "label_names.json").read_text()) == ["a", "b", "c"]
+    # with correct codes the model scores well; the shifted encoding scored ~0 on 'c'
+    assert report["modes"]["fp32"]["accuracy"] > 0.7
+
+
 def test_compile_xla_cli(mlp_setup, tmp_path):
     root = mlp_setup
     out = tmp_path / "xla_report.json"
