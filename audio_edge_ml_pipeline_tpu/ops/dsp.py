@@ -461,7 +461,10 @@ def mfcc_seq_feature(
 ) -> jnp.ndarray:
     """audio_mfcc_seq contract (reference audio/deep.py:304-328), batched:
     per-coefficient z-score over time."""
-    T = n_frames_for(y.shape[1], hop_length)
+    # exact frame count of the STFT path: for odd n_fft the center padding
+    # is 2*(n_fft//2) = n_fft - 1, one frame fewer than n_frames_for when
+    # hop divides n — a mask built from n_frames_for would not broadcast
+    T = 1 + (y.shape[1] + 2 * (n_fft // 2) - n_fft) // hop_length
     mask = frame_mask(T, lengths, hop_length, y.shape[0])
     M = mfcc(y, sr, n_mfcc, n_fft, hop_length, mask=mask)
     m2 = None if mask is None else mask[:, None, :]
@@ -726,9 +729,10 @@ def classical_feature_vector(
     aggs = tuple(a for a in ("mean", "std") if a in set(aggregations))
     active = set(feats)
 
-    T = n_frames_for(y.shape[1], hop_length)
-    mask = frame_mask(T, lengths, hop_length, y.shape[0])
-    m2 = None if mask is None else mask  # (B, T)
+    # lengths is always None past the guard above: masked aggregation is
+    # explicitly unsupported here (exact-length batching instead), so the
+    # _masked_* helpers below all run in their mask=None plain-mean mode
+    mask = m2 = None
 
     need_stft = active & {
         "spectral_centroid", "spectral_rolloff", "spectral_bandwidth",

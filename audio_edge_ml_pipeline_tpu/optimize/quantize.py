@@ -151,9 +151,14 @@ def _quantize_deep_bundle(model_path: Path, mode: str, out_path: Path, calib_X: 
             new_flat[k] = deq.astype(np.float32)
             store[k] = arr.astype(np.float16)
         elif mode == "bfloat16":
+            import ml_dtypes
+
             deq, _ = fake_cast(arr, "bfloat16")
             new_flat[k] = deq.astype(np.float32)
-            store[k] = arr.astype(np.float16)  # container proxy: 2 bytes/elem
+            # store the bf16 bits themselves (uint16 view — np.savez has no
+            # native bfloat16): the artifact holds EXACTLY the values whose
+            # accuracy was measured; load_any_bundle views them back
+            store[k] = arr.astype(ml_dtypes.bfloat16).view(np.uint16)
         else:
             raise ValueError(mode)
     meta = {**arch, "quantization": mode}
@@ -211,6 +216,10 @@ def load_any_bundle(path: Path):
             qstore[key] = (arr, scale)
         elif arr.dtype == np.float16:
             flat[key] = arr.astype(np.float32)
+        elif arr.dtype == np.uint16:  # bfloat16 bits (write side above)
+            import ml_dtypes
+
+            flat[key] = arr.view(ml_dtypes.bfloat16).astype(np.float32)
         else:
             flat[key] = arr
     return arch, flat, data["norm_mean"], data["norm_var"], mode, qstore

@@ -235,14 +235,14 @@ class SuccessiveHalvingPruner:
         if not record.intermediate:
             return False
         step = max(record.intermediate)
+        # cull only AT the geometric rungs r0 * eta^k — any multiple of
+        # min_resource is NOT a rung (that earlier reading made the cut
+        # fire at steps 10, 20, 25... for r0=5, eta=3 instead of 5, 15, 45,
+        # pruning slow starters the schedule meant to spare)
         rung = self.min_resource
-        active = False
-        while rung <= step:
-            if step == rung or (step > rung and (step // rung) * rung == step):
-                active = True
-                break
+        while rung < step:
             rung *= self.eta
-        if not active:
+        if rung != step:
             return False
         peers = []
         for t in study.trials:

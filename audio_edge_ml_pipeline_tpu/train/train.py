@@ -42,19 +42,15 @@ def setup_tracking(uri: Optional[str], experiment: str):
 
 
 def apply_class_filter(X, y, label_names, class_filter, run_name=""):
-    """Keep only classes in class_filter; remap labels to 0..N-1 preserving
-    the original label_names order (reference train.py:117-135)."""
-    filter_set = set(class_filter)
-    allowed = [i for i, n in enumerate(label_names) if n in filter_set]
-    if not allowed:
-        raise ValueError(
-            f"[{run_name}] class_filter {sorted(filter_set)!r} matched none of the available classes: {label_names!r}"
-        )
-    mask = np.isin(y, allowed)
-    X, y = X[mask], y[mask]
-    idx_map = {old: new for new, old in enumerate(allowed)}
-    y = np.array([idx_map[int(v)] for v in y], dtype=np.int32)
-    return X, y, [label_names[i] for i in allowed]
+    """Keep only classes in class_filter, remapped to the CANONICAL
+    name-sorted encoding — the same convention tune.py / optimize.py /
+    to_tflite.py use (reference tune.py:189-196). Every stage sharing one
+    encoding is what makes a class-filtered model's label space line up
+    when the shortlist hands it to Stage 6 (a previous order-preserving
+    variant here scored filtered models against scrambled labels)."""
+    from .tune import apply_class_filter_canonical
+
+    return apply_class_filter_canonical(X, y, label_names, class_filter, run_name)
 
 
 def stratified_train_val_split(X, y, val_split: float, seed: int = 42):
@@ -93,7 +89,8 @@ def run_one(
         X, y, label_names = apply_class_filter(X, y, label_names, run.class_filter, run.name)
         logger.info("[%s] class_filter: keeping %d classes, %d samples", run.name, len(label_names), len(X))
 
-    X_train, X_val, y_train, y_val = stratified_train_val_split(X, y, run.val_split)
+    val_split = run.val_split if run.val_split is not None else 0.2
+    X_train, X_val, y_train, y_val = stratified_train_val_split(X, y, val_split)
     logger.info("[%s] Train: %d  Val: %d  Classes: %d", run.name, len(X_train), len(X_val), len(label_names))
 
     output_dir = Path(run.output_dir) / run.name
@@ -121,16 +118,25 @@ def run_one(
 
             from sklearn.model_selection import StratifiedKFold
 
-            min_class_n = int(np.bincount(y).min())
+            counts = np.bincount(y)
+            min_class_n = int(counts[counts > 0].min())
             actual_folds = min(cv_folds, min_class_n)
             if actual_folds < cv_folds:
                 logger.warning(
                     "[%s] cv_folds=%d reduced to %d — smallest class has only %d samples.",
                     run.name, cv_folds, actual_folds, min_class_n,
                 )
+            if actual_folds < 2:
+                logger.warning(
+                    "[%s] CV skipped: %d usable fold(s) (StratifiedKFold needs >= 2).",
+                    run.name, actual_folds,
+                )
+                actual_folds = 0
+        if cv_folds and actual_folds >= 2:
             active_run.log_param("cv_folds", actual_folds)
-            active_run.log_param("cv_random_state", run.cv_random_state)
-            skf = StratifiedKFold(n_splits=actual_folds, shuffle=True, random_state=run.cv_random_state)
+            cv_seed = run.cv_random_state if run.cv_random_state is not None else 42
+            active_run.log_param("cv_random_state", cv_seed)
+            skf = StratifiedKFold(n_splits=actual_folds, shuffle=True, random_state=cv_seed)
             fold_metrics = []
             with tempfile.TemporaryDirectory(prefix="cv_fold_") as tmp:
                 for fold_i, (tr_idx, vl_idx) in enumerate(skf.split(X, y), 1):
@@ -172,9 +178,19 @@ def run_one(
             try:
                 test_fs = FeaturePipeline.load(test_dir)
                 if test_fs.labels is not None:
+                    # re-encode test labels by class NAME against the (possibly
+                    # class-filtered) training label order — the cross-loader /
+                    # cross-filter guard tune.py and optimize.py apply
+                    # (reference optimize.py:509-527)
+                    from .tune import encode_labels_by_name
+
+                    keep, y_test = encode_labels_by_name(
+                        test_fs.labels, test_fs.label_names or label_names, label_names
+                    )
+                    X_test = test_fs.features[keep]
                     test_metrics = ev.compute_metrics(
-                        test_fs.labels, trainer.predict(test_fs.features),
-                        trainer.predict_proba(test_fs.features), label_names,
+                        y_test, trainer.predict(X_test),
+                        trainer.predict_proba(X_test), label_names,
                     )
                     for k, v in test_metrics.items():
                         if isinstance(v, (int, float)):

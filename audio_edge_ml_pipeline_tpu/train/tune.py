@@ -146,12 +146,10 @@ def apply_class_filter_canonical(X, y, label_names, class_filter, run_label: str
 
 
 def _split(X, y, val_split, seed=42):
-    from sklearn.model_selection import train_test_split
+    # single source of truth for the stratified-with-fallback policy
+    from .train import stratified_train_val_split
 
-    try:
-        return train_test_split(X, y, test_size=val_split, random_state=seed, stratify=y)
-    except ValueError:
-        return train_test_split(X, y, test_size=val_split, random_state=seed)
+    return stratified_train_val_split(X, y, val_split, seed=seed)
 
 
 def _tune_classical(run_cfg: dict, default_cfg: dict) -> Optional[dict]:

@@ -68,9 +68,15 @@ def main() -> None:
 
     # batch sweep on v5e (conv-era: 512 -> 35k ... 4096 -> 41.6k clips/s);
     # folded-GEMM STFT lifted 4096 to 54.4k; gathering the folded halves
-    # directly (no frames-tensor HBM round trip) to 78.5k (dsp.stft_re_im)
-    B = 4096
-    waves = jax.device_put(jnp.asarray(np.tile(base, (B // len(base), 1))))
+    # directly (no frames-tensor HBM round trip) to 78.5k, and the freed
+    # HBM allows B=8192 (~80k). Falls back to 4096 if the chip OOMs.
+    B = 8192
+    try:
+        waves = jax.device_put(jnp.asarray(np.tile(base, (B // len(base), 1))))
+        pipeline(params, waves[:B]).block_until_ready()
+    except Exception:
+        B = 4096
+        waves = jax.device_put(jnp.asarray(np.tile(base, (B // len(base), 1))))
 
     def _barrier(out):
         # block_until_ready has been observed returning before the device
@@ -114,12 +120,21 @@ def main() -> None:
         try:
             from audio_edge_ml_pipeline_tpu.ops.pallas_mel import mel_spec_feature_pallas
 
+            # apples-to-apples A/B at 4096: the Pallas kernel's XLA-side
+            # p/m prep needs more live HBM than the fused XLA path and
+            # OOMs at 8192
+            B_ab = min(B, 4096)
+            w_ab = waves[:B_ab]
             extract_pl = jax.jit(
                 lambda w: mel_spec_feature_pallas(w, sr=sr, n_mels=n_mels, n_fft=n_fft, hop_length=hop)
             )
-            extraction_pallas = B / timed(extract_pl, waves)
+            pl = B_ab / timed(extract_pl, w_ab)
+            xla_ab = B_ab / timed(extract_xla, w_ab)
+            extraction_pallas = pl
+            result_ab = {"pallas": round(pl, 1), "xla_same_batch": round(xla_ab, 1)}
         except Exception as exc:  # record the failure, don't sink the bench
-            extraction_pallas = f"failed: {exc}"
+            extraction_pallas = f"failed: {str(exc).splitlines()[0][:160]}"
+            result_ab = None
 
     result = {
         "metric": "fsc22 mel+CNN clips/sec/chip",
@@ -132,8 +147,11 @@ def main() -> None:
         result["extraction_only_pallas_clips_per_sec"] = (
             round(extraction_pallas, 1) if isinstance(extraction_pallas, float) else extraction_pallas
         )
-        if isinstance(extraction_pallas, float):
-            result["mel_backend_winner"] = "pallas" if extraction_pallas > extraction_xla else "xla"
+        if isinstance(extraction_pallas, float) and result_ab:
+            result["mel_backend_winner"] = (
+                "pallas" if result_ab["pallas"] > result_ab["xla_same_batch"] else "xla"
+            )
+            result["mel_ab_batch4096"] = result_ab
     print(json.dumps(result))
 
 

@@ -151,6 +151,24 @@ def test_optimize_cli_and_postopt(trained_setup, optimized_out, tmp_path):
     assert "Best post-optimisation model" in r2.stdout
 
 
+def test_bf16_artifact_holds_evaluated_values(trained_setup, optimized_out):
+    """The bfloat16 artifact must dequantize to EXACTLY the bf16-rounded
+    weights whose accuracy the report measured (regression: it used to
+    store an fp16 cast instead — different rounding, inf above 65504)."""
+    from audio_edge_ml_pipeline_tpu.models.deep import load_model_bundle
+    from audio_edge_ml_pipeline_tpu.optimize.quantize import fake_cast, load_any_bundle
+
+    art = optimized_out / "cnn" / "model_bfloat16.npz"
+    assert art.exists()
+    _, flat_q, _, _, mode, _ = load_any_bundle(art)
+    assert mode == "bfloat16"
+    bundles = list((trained_setup / "cnn_run").glob("*.npz"))
+    _, flat0, _, _ = load_model_bundle(bundles[0])
+    for k, arr in flat0.items():
+        want = fake_cast(arr, "bfloat16")[0].astype(np.float32)
+        np.testing.assert_array_equal(flat_q[k], want, err_msg=k)
+
+
 def test_postopt_max_size_kb_filter(trained_setup, optimized_out, tmp_path):
     """--max-size-kb is a hard gate (reference select.py post-opt): an
     impossible budget must leave no qualifying model and write no file."""
