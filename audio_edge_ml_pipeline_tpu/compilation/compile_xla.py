@@ -69,11 +69,12 @@ def main(argv=None) -> None:
 
     module = trainer._module()
     params = trainer._params
+    collections = dict(getattr(trainer, "_collections", None) or {})
     nm, nv = trainer._norm_mean, trainer._norm_var
 
     def forward(p, x):
         xn = (x - nm) / jnp.sqrt(nv + 1e-6)
-        return module.apply({"params": p}, xn, train=False)
+        return module.apply({"params": p, **collections}, xn, train=False)
 
     jitted = jax.jit(forward)
     # AOT: explicit lower + compile (reports compiler stats)

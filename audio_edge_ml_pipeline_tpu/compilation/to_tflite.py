@@ -57,13 +57,16 @@ def _tf_function_from_bundle(trainer, input_shape):
 
     module = trainer._module()
     params = trainer._params
+    # non-param collections (BatchNorm batch_stats for ds_cnn etc.) must
+    # ride along or flax raises ScopeCollectionNotFound at apply time
+    collections = dict(getattr(trainer, "_collections", None) or {})
     norm_mean, norm_var = trainer._norm_mean, trainer._norm_var
 
     def forward(x):
         import jax.numpy as jnp
 
         xn = (x - norm_mean) / jnp.sqrt(norm_var + 1e-6)
-        logits = module.apply({"params": params}, xn, train=False)
+        logits = module.apply({"params": params, **collections}, xn, train=False)
         return jnp.asarray(jnp.exp(logits) / jnp.sum(jnp.exp(logits), -1, keepdims=True))
 
     tf_fn = jax2tf.convert(forward, with_gradient=False)

@@ -344,28 +344,30 @@ static void fft_radix2(float *re, float *im, int n) {{
     }}
 }}
 
-/* samples: float waveform in [-1, 1], length N_SAMPLES.
- * out: N_MELS * N_FRAMES floats, row-major (mel, frame). */
-void features_extract(const float *samples, float *out) {{
-    for (int fi = 0; fi < N_FRAMES; ++fi) {{
-        int start = fi * HOP - N_FFT / 2; /* center=True */
-        for (int i = 0; i < N_FFT; ++i) {{
-            int idx = start + i;
-            float v = (idx >= 0 && idx < N_SAMPLES) ? samples[idx] : 0.0f;
-            fft_re[i] = v * feat_hann[i];
-            fft_im[i] = 0.0f;
-        }}
-        fft_radix2(fft_re, fft_im, N_FFT);
-        for (int k = 0; k < N_FREQ; ++k) {{
-            power_spec[k] = fft_re[k] * fft_re[k] + fft_im[k] * fft_im[k];
-        }}
-        for (int m = 0; m < N_MELS; ++m) {{
-            const float *fb = feat_mel_fb + (size_t)m * N_FREQ;
-            float acc = 0.0f;
-            for (int k = 0; k < N_FREQ; ++k) acc += fb[k] * power_spec[k];
-            out[(size_t)m * N_FRAMES + fi] = acc;
-        }}
+/* one frame: windowed FFT -> mel power column fi of out */
+static void feat_frame(const float *samples, const short *pcm, int fi, float *out) {{
+    int start = fi * HOP - N_FFT / 2; /* center=True */
+    for (int i = 0; i < N_FFT; ++i) {{
+        int idx = start + i;
+        float v = 0.0f;
+        if (idx >= 0 && idx < N_SAMPLES)
+            v = samples ? samples[idx] : (float)pcm[idx] * (1.0f / 32768.0f);
+        fft_re[i] = v * feat_hann[i];
+        fft_im[i] = 0.0f;
     }}
+    fft_radix2(fft_re, fft_im, N_FFT);
+    for (int k = 0; k < N_FREQ; ++k) {{
+        power_spec[k] = fft_re[k] * fft_re[k] + fft_im[k] * fft_im[k];
+    }}
+    for (int m = 0; m < N_MELS; ++m) {{
+        const float *fb = feat_mel_fb + (size_t)m * N_FREQ;
+        float acc = 0.0f;
+        for (int k = 0; k < N_FREQ; ++k) acc += fb[k] * power_spec[k];
+        out[(size_t)m * N_FRAMES + fi] = acc;
+    }}
+}}
+
+static void feat_finish(float *out) {{
     /* power_to_db(ref=max, amin=1e-10, top_db=80) */
     float peak = 1e-10f;
     size_t n = (size_t)N_MELS * N_FRAMES;
@@ -386,9 +388,18 @@ void features_extract(const float *samples, float *out) {{
     for (size_t i = 0; i < n; ++i) out[i] = (out[i] - mn) * inv;
 }}
 
-void features_extract_pcm(const short *pcm, float *out, float *scratch) {{
-    for (int i = 0; i < N_SAMPLES; ++i) scratch[i] = (float)pcm[i] / 32768.0f;
-    features_extract(scratch, out);
+/* samples: float waveform in [-1, 1], length N_SAMPLES.
+ * out: N_MELS * N_FRAMES floats, row-major (mel, frame). */
+void features_extract(const float *samples, float *out) {{
+    for (int fi = 0; fi < N_FRAMES; ++fi) feat_frame(samples, 0, fi, out);
+    feat_finish(out);
+}}
+
+/* int16 PCM straight from capture — per-frame conversion, no float
+ * waveform buffer (the PCM can stay aliased inside the model arena). */
+void features_extract_pcm(const short *pcm, float *out) {{
+    for (int fi = 0; fi < N_FRAMES; ++fi) feat_frame(0, pcm, fi, out);
+    feat_finish(out);
 }}
 """
 
@@ -397,7 +408,7 @@ FEATURES_H = """\
 #define FRONTEND_H
 
 void features_extract(const float *samples, float *out);
-void features_extract_pcm(const short *pcm, float *out, float *scratch);
+void features_extract_pcm(const short *pcm, float *out);
 
 #endif
 """

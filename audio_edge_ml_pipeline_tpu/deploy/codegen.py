@@ -138,6 +138,20 @@ class ModelToC:
         self.duration = duration
         self.n_samples = int(duration * sample_rate)
         self.n_frames = 1 + self.n_samples // hop_length
+        in_shape = self.arch.get("input_shape")
+        if in_shape:
+            # the generated features_extract writes N_MELS*N_FRAMES floats
+            # into the model-input buffer; a mismatched frontend geometry
+            # would be an out-of-bounds write on device, so fail generation
+            expect = self.n_mels * self.n_frames
+            got = int(np.prod(in_shape))
+            if got != expect:
+                raise ValueError(
+                    f"frontend geometry n_mels={n_mels} x n_frames={self.n_frames} "
+                    f"(duration={duration}s, hop={hop_length}) produces {expect} "
+                    f"values but the model expects input_shape={list(in_shape)} "
+                    f"({got}); pass matching --duration/--n-mels/--hop-length"
+                )
         if board not in BOARDS:
             raise ValueError(f"Unknown board {board!r}. Supported: {sorted(BOARDS)}")
         self.board = board

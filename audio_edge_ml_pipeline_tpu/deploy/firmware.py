@@ -28,17 +28,17 @@ extern "C" {{
 #define N_SAMPLES   {n_samples}
 
 /* The PCM buffer aliases the activation arena: capture fills it with int16,
- * feature extraction converts in place into the scratch region, and the
- * model then reuses the same memory for activations (saves ~160 KB). */
+ * the frontend reads the int16 directly (features_extract_pcm converts per
+ * frame), and the model then reuses the same memory for activations — no
+ * separate float waveform buffer ever exists (saves N_SAMPLES*4 bytes). */
 static float g_arena[MODEL_ARENA_FLOATS > (N_SAMPLES / 2 + 1) ? MODEL_ARENA_FLOATS : (N_SAMPLES / 2 + 1)];
 static short *g_pcm = (short *)g_arena;
 static float g_feat[MODEL_INPUT_SIZE];
-static float g_scratch[1]; /* unused: conversion happens below */
 static float g_scores[MODEL_N_CLASSES];
 
 /* DC removal + 4 kHz biquad notch (PDM clock artifact) */
 static void preprocess_pcm(short *pcm, int n) {{
-    long sum = 0;
+    long long sum = 0; /* 32-bit overflows at ~26800 mean counts x 80k samples */
     for (int i = 0; i < n; ++i) sum += pcm[i];
     short dc = (short)(sum / n);
     float x1 = 0, x2 = 0, y1 = 0, y2 = 0;
@@ -54,11 +54,7 @@ static void preprocess_pcm(short *pcm, int n) {{
 }}
 
 static void extract_features() {{
-    /* convert PCM (front of arena) to float from the back to avoid overlap */
-    float *wav = g_arena + (MODEL_ARENA_FLOATS > N_SAMPLES ? 0 : 0);
-    static float wavbuf[N_SAMPLES];
-    for (int i = 0; i < N_SAMPLES; ++i) wavbuf[i] = (float)g_pcm[i] / 32768.0f;
-    features_extract(wavbuf, g_feat);
+    features_extract_pcm(g_pcm, g_feat);
 }}
 
 static void print_top3() {{
@@ -244,7 +240,12 @@ void audio_record(short *buf, int n) {
         size_t bytes = 0;
         i2s_read(I2S_PORT, raw, sizeof(raw), &bytes, portMAX_DELAY);
         int samples = bytes / 4;
-        for (int i = 0; i < samples && got < n; ++i) buf[got++] = (short)(raw[i] >> 14);
+        for (int i = 0; i < samples && got < n; ++i) {
+            /* INMP441: 24-bit sample MSB-aligned in 32 bits -> >>16 keeps
+             * the top 16 bits; the old >>14 wrapped loud audio in the
+             * int16 cast instead of scaling it */
+            buf[got++] = (short)(raw[i] >> 16);
+        }
     }
 }
 """

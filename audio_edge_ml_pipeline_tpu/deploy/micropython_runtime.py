@@ -103,12 +103,16 @@ def led(color):
 def record():
     if not HAS_HW:
         raise RuntimeError("no audio hardware; call predict() with a test vector")
-    buf = bytearray(N_SAMPLES * 2)
+    # start EMPTY and extend: preallocating N_SAMPLES*2 zeros would leave
+    # the real samples beyond the slice below (classifying pure silence)
+    buf = bytearray()
     audio.init(channels=1, frequency=SR, gain_db=24)
     audio.start_streaming(lambda data: buf.extend(data))
     time.sleep(PARAMS["duration"] + 0.1)
     audio.stop_streaming()
-    pcm = np.frombuffer(buf[: N_SAMPLES * 2], dtype=np.int16)
+    if len(buf) < N_SAMPLES * 2:
+        buf.extend(bytes(N_SAMPLES * 2 - len(buf)))  # zero-pad a short capture
+    pcm = np.frombuffer(bytes(buf[: N_SAMPLES * 2]), dtype=np.int16)
     return pcm / 32768.0
 
 

@@ -177,18 +177,25 @@ def run(cfg: dict) -> None:
 
     n_orig = 0
     for path, class_name in samples:
-        y, sr = load_audio(path, sr=target_sr)
+        try:
+            y, sr = load_audio(path, sr=target_sr)
+        except Exception as exc:
+            # skip-and-continue like the extraction path (e.g. a non-WAV
+            # file admitted by the extension list that the decoder rejects)
+            logger.warning("Skipping %s: %s", path, exc)
+            continue
         y = np.clip(y * level_scale, -1.0, 1.0)
         class_dir = output_dir / class_name
         class_dir.mkdir(parents=True, exist_ok=True)
-        write_wav(class_dir / path.name, y, sr)
+        # outputs are WAV data regardless of the source container
+        write_wav(class_dir / f"{path.stem}.wav", y, sr)
         n_orig += 1
         aug_specs = class_overrides.get(class_name, {}).get("augmentations", default_augs)
         for i in range(1, n_augments + 1):
             y_aug = apply_augmentations(y, sr, aug_specs, rng)
             if preserve:
                 y_aug = preserve_length(y_aug, len(y))
-            write_wav(class_dir / f"{path.stem}_aug{i:03d}{path.suffix}", np.clip(y_aug, -1, 1), sr)
+            write_wav(class_dir / f"{path.stem}_aug{i:03d}.wav", np.clip(y_aug, -1, 1), sr)
     logger.info(
         "Done: %d originals + %d augmented = %d files.",
         n_orig, n_orig * n_augments, n_orig * (1 + n_augments),

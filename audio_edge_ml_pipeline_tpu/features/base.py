@@ -122,6 +122,14 @@ def _collect(
     if not all_features:
         raise RuntimeError("No features were successfully extracted.")
     features = np.stack(all_features)
+    if all_labels and len(all_labels) != len(all_features):
+        # a partially-labelled dataset would silently shift every label
+        # after the first unlabelled sample onto the wrong row
+        raise ValueError(
+            f"{len(all_labels)} label(s) for {len(all_features)} samples — "
+            "the dataset mixes labelled and unlabelled items; label all "
+            "samples or none."
+        )
     labels = np.array(all_labels, dtype=np.int32) if all_labels else None
     label_names = (
         [k for k, _ in sorted(label_to_idx.items(), key=lambda kv: kv[1])] if label_to_idx else None

@@ -36,9 +36,12 @@ def _parse_multipart(body: bytes, content_type: str) -> tuple[dict[str, bytes], 
     names: dict[str, str] = {}
     fields: dict[str, str] = {}
     for part in body.split(b"--" + boundary):
-        part = part.strip()
-        if not part or part == b"--":
+        # closing delimiter chunk starts with "--"; normal parts start with
+        # the CRLF that followed the boundary line
+        if not part or part.lstrip(b"\r\n ").startswith(b"--"):
             continue
+        if part.startswith(b"\r\n"):
+            part = part[2:]
         if b"\r\n\r\n" not in part:
             continue
         header_blob, content = part.split(b"\r\n\r\n", 1)
@@ -47,7 +50,11 @@ def _parse_multipart(body: bytes, content_type: str) -> tuple[dict[str, bytes], 
         if not nm:
             continue
         fname = re.search(r'filename="([^"]*)"', headers)
-        content = content.rstrip(b"\r\n")
+        # strip exactly the ONE CRLF that precedes the next boundary —
+        # byte-preserving for binary payloads whose real tail bytes are
+        # 0x0D/0x0A (an rstrip here truncated such uploads)
+        if content.endswith(b"\r\n"):
+            content = content[:-2]
         if fname:
             files[nm.group(1)] = content
             names[nm.group(1)] = fname.group(1)

@@ -94,6 +94,45 @@ def test_c_mel_frontend_parity(generated):
     assert err <= 5e-5, f"C mel parity {err:.2e}"  # float32 C vs float64 oracle
 
 
+def test_c_pcm_frontend_matches_float_path(generated, tmp_path):
+    """features_extract_pcm (int16 straight from capture, the firmware path
+    since the wavbuf removal) must produce bit-identical features to
+    features_extract on the dequantized waveform."""
+    out, exe, gen = generated
+    n = gen.n_samples
+    harness = tmp_path / "pcm_check.c"
+    harness.write_text(
+        '#include <stdio.h>\n#include <stdlib.h>\n#include "frontend.h"\n'
+        '#include "feat_data.h"\n'
+        f"#define NS {n}\n#define NF {gen.n_mels * gen.n_frames}\n"
+        "int main(void) {\n"
+        "  static short pcm[NS]; static float wav[NS];\n"
+        "  static float a[NF], b[NF];\n"
+        "  unsigned s = 12345;\n"
+        "  for (int i = 0; i < NS; ++i) {\n"
+        "    s = s * 1103515245u + 12345u;\n"
+        "    pcm[i] = (short)((s >> 16) & 0xFFFF);\n"
+        "    wav[i] = (float)pcm[i] / 32768.0f;\n"
+        "  }\n"
+        "  features_extract_pcm(pcm, a);\n"
+        "  features_extract(wav, b);\n"
+        "  double mx = 0;\n"
+        "  for (int i = 0; i < NF; ++i) { double d = a[i] - b[i]; if (d < 0) d = -d; if (d > mx) mx = d; }\n"
+        '  printf("%g\\n", mx);\n'
+        "  return mx == 0.0 ? 0 : 1;\n"
+        "}\n"
+    )
+    srcs = [harness, out / "src" / "frontend.c", out / "src" / "feat_data.c"]
+    exe2 = tmp_path / "pcm_check"
+    r = subprocess.run(
+        ["gcc", "-O2", "-std=c99", f"-I{out/'src'}", "-o", str(exe2), *map(str, srcs), "-lm"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run([str(exe2)], capture_output=True, text=True)
+    assert r.returncode == 0, f"pcm/float paths diverge: max|d|={r.stdout.strip()}"
+
+
 def test_c_forward_parity(generated, cnn_bundle):
     """Full C forward pass vs the JAX trainer on the same features."""
     out, exe, gen = generated
