@@ -63,6 +63,35 @@ def stratified_split_indices(
     return split
 
 
+def fsc22_metadata(dataset_root):
+    """Locate the FSC22 audio dir + parse the metadata CSV — the single
+    parsing contract (column strip, NaN-row drop, name strip) shared by
+    FSC22Loader and the device tools (record_dataset / evaluate_device /
+    generate_split previously each re-implemented this and diverged).
+
+    Returns ``(audio_dir: Path | None, df)`` with columns incl. 'Dataset
+    File Name', 'Class ID', 'Class Name'. ``audio_dir`` is None for a flat
+    layout (CSV beside the WAVs, as the device tools use).
+    """
+    dataset_root = Path(dataset_root)
+    audio_matches = list(dataset_root.glob("Audio Wise V1.0-*/Audio Wise V1.0"))
+    audio_dir = audio_matches[0] if audio_matches and audio_matches[0].is_dir() else None
+    csv_matches = (
+        list(dataset_root.glob("Metadata-*/Metadata/*.csv"))
+        or sorted(dataset_root.glob("*.csv"))
+    )
+    if not csv_matches:
+        raise FileNotFoundError(f"Could not find FSC22 metadata CSV under {dataset_root}.")
+
+    import pandas as pd
+
+    df = pd.read_csv(csv_matches[0], on_bad_lines="warn")
+    df.columns = df.columns.str.strip()
+    df = df.dropna(subset=["Dataset File Name", "Class ID", "Class Name"])
+    df["Class Name"] = df["Class Name"].str.strip()
+    return audio_dir, df
+
+
 class FSC22Loader(BaseDatasetLoader):
     """FSC22 flat-dir + metadata CSV with a deterministic stratified
     70/15/15 split at construction (seed 42); class_filter support.
@@ -85,22 +114,11 @@ class FSC22Loader(BaseDatasetLoader):
         self.split = split
         self.class_filter = set(class_filter) if class_filter else None
 
-        audio_matches = list(self.dataset_root.glob("Audio Wise V1.0-*/Audio Wise V1.0"))
-        if not audio_matches or not audio_matches[0].is_dir():
+        self._audio_dir, df = fsc22_metadata(self.dataset_root)
+        if self._audio_dir is None:
             raise FileNotFoundError(
                 f"Could not find 'Audio Wise V1.0' directory under {self.dataset_root}."
             )
-        self._audio_dir = audio_matches[0]
-        csv_matches = list(self.dataset_root.glob("Metadata-*/Metadata/*.csv"))
-        if not csv_matches:
-            raise FileNotFoundError(f"Could not find FSC22 metadata CSV under {self.dataset_root}.")
-
-        import pandas as pd
-
-        df = pd.read_csv(csv_matches[0], on_bad_lines="warn")
-        df.columns = df.columns.str.strip()
-        df = df.dropna(subset=["Dataset File Name", "Class ID", "Class Name"])
-        df["Class Name"] = df["Class Name"].str.strip()
         if self.class_filter is not None:
             df = df[df["Class Name"].isin(self.class_filter)]
         df = df.reset_index(drop=True)

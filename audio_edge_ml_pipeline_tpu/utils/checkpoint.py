@@ -41,7 +41,14 @@ def _unflatten(template, flat: dict[str, np.ndarray]):
         arr = flat.get(key)
         if arr is None:
             raise KeyError(f"checkpoint missing leaf {key!r}")
-        new_leaves.append(jnp.asarray(arr.reshape(np.shape(leaf))))
+        want = np.shape(leaf)
+        if tuple(arr.shape) != tuple(want) and arr.ndim > 0 and len(want) > 0:
+            # a reshape here would silently accept same-size permuted
+            # shapes (e.g. a transposed kernel after an arch tweak) —
+            # reject so load_train_state returns None as documented
+            raise ValueError(f"leaf {key!r}: checkpoint shape {arr.shape} != template {want}")
+        dtype = getattr(leaf, "dtype", None)
+        new_leaves.append(jnp.asarray(arr.reshape(want), dtype=dtype))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 

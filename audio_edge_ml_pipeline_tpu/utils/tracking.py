@@ -131,7 +131,18 @@ class ActiveRun:
         return self
 
     def __exit__(self, exc_type, exc, tb) -> None:
-        end_run("FAILED" if exc_type else "FINISHED")
+        # finalize THIS run (not whatever run is globally active — nested
+        # runs would otherwise close the wrong one) and restore the run
+        # that was active when this one started
+        self._finalize("FAILED" if exc_type else "FINISHED")
+
+    def _finalize(self, status: str) -> None:
+        global _ACTIVE_RUN
+        self.info.status = status
+        self.info.end_time = int(time.time() * 1000)
+        self._write_meta()
+        if _ACTIVE_RUN is self:
+            _ACTIVE_RUN = getattr(self, "_previous", None)
 
     # -- logging --------------------------------------------------------
     def log_param(self, key: str, value) -> None:
@@ -203,6 +214,7 @@ def start_run(run_name: Optional[str] = None, experiment: Optional[str] = None) 
     run = ActiveRun(run_dir, info)
     run.set_tag("mlflow.runName", info.run_name)
     run._write_meta()
+    run._previous = _ACTIVE_RUN  # restored when this run finalizes
     _ACTIVE_RUN = run
     return run
 
@@ -212,12 +224,8 @@ def active_run() -> Optional[ActiveRun]:
 
 
 def end_run(status: str = "FINISHED") -> None:
-    global _ACTIVE_RUN
     if _ACTIVE_RUN is not None:
-        _ACTIVE_RUN.info.status = status
-        _ACTIVE_RUN.info.end_time = int(time.time() * 1000)
-        _ACTIVE_RUN._write_meta()
-        _ACTIVE_RUN = None
+        _ACTIVE_RUN._finalize(status)
 
 
 # -- module-level conveniences (mlflow-style) ---------------------------

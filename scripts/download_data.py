@@ -45,7 +45,10 @@ def main() -> None:
             f"download failed ({exc}). In offline environments run with --synthetic."
         )
     with tarfile.open(archive) as tar:
-        tar.extractall(args.out)
+        try:
+            tar.extractall(args.out, filter="data")  # no path traversal
+        except TypeError:  # Python < 3.12 without the filter parameter
+            tar.extractall(args.out)
     archive.unlink()
     print(f"extracted -> {args.out}")
 

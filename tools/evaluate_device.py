@@ -38,20 +38,33 @@ from tools import serial_proto  # noqa: E402
 def evaluate(ser, clips: list[tuple[Path, str]], label_names: list[str],
              playback: bool = True, output_dir: Path = Path("data/device_eval")) -> dict:
     """Run the EVAL protocol over every clip; returns metrics."""
+    # grow the label set with any device prediction outside it: dropping
+    # out-of-set predictions would count only in-set answers and inflate
+    # the reported accuracy
+    label_names = list(label_names)
     name_to_idx = {n: i for i, n in enumerate(label_names)}
     y_true, y_pred = [], []
     for i, (path, true_label) in enumerate(clips):
+        proc = None
         if playback:
             try:
-                subprocess.run(["aplay", "-q", str(path)], check=False, timeout=30)
+                # start playback FIRST, then send 'R' while audio is still
+                # playing: EVAL_MODE firmware begins recording only on 'R',
+                # so a blocking play-then-send would capture silence
+                proc = subprocess.Popen(["aplay", "-q", str(path)])
             except FileNotFoundError:
                 print("aplay not found — use --no-playback with an external audio rig")
                 raise SystemExit(2)
         pred, scores = serial_proto.eval_roundtrip(ser)
+        if proc is not None:
+            proc.wait(timeout=30)
         print(f"[{i + 1}/{len(clips)}] {path.name}: true={true_label} pred={pred}")
-        if true_label in name_to_idx and pred in name_to_idx:
-            y_true.append(name_to_idx[true_label])
-            y_pred.append(name_to_idx[pred])
+        for name in (true_label, pred):
+            if name not in name_to_idx:
+                name_to_idx[name] = len(label_names)
+                label_names.append(name)
+        y_true.append(name_to_idx[true_label])
+        y_pred.append(name_to_idx[pred])
     if not y_true:
         raise SystemExit("no valid predictions collected")
     metrics = compute_metrics(np.array(y_true), np.array(y_pred), label_names=label_names)
@@ -63,14 +76,13 @@ def evaluate(ser, clips: list[tuple[Path, str]], label_names: list[str],
 
 def _fsc22_label_map(root: Path) -> dict[str, str]:
     """filename -> class name from the FSC22 metadata CSV (flat layout)."""
-    import pandas as pd
+    from audio_edge_ml_pipeline_tpu.data.loaders import fsc22_metadata
 
-    csvs = list(root.glob("Metadata-*/Metadata/*.csv")) or list(root.glob("*.csv"))
-    if not csvs:
-        raise SystemExit(f"no FSC22 metadata CSV under {root}")
-    df = pd.read_csv(csvs[0])
-    df.columns = df.columns.str.strip()
-    return {str(r["Dataset File Name"]): str(r["Class Name"]).strip() for _, r in df.iterrows()}
+    try:
+        _, df = fsc22_metadata(root)
+    except FileNotFoundError as exc:
+        raise SystemExit(str(exc))
+    return {str(r["Dataset File Name"]): str(r["Class Name"]) for _, r in df.iterrows()}
 
 
 def main() -> None:

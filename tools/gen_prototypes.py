@@ -33,7 +33,11 @@ def generate(features_dir: Path, output: Path, classes: list[str] | None = None)
     for name in names:
         if name not in all_names:
             raise SystemExit(f"class {name!r} not found; available: {all_names}")
-        mean = feats[labels == all_names.index(name)].mean(axis=0)
+        rows = feats[labels == all_names.index(name)]
+        if len(rows) == 0:
+            print(f"skipping {name!r}: no samples in this FeatureSet")
+            continue
+        mean = rows.mean(axis=0)
         protos.append(np.clip(np.round(mean * 255.0), 0, 255).astype(np.uint8))
     lines = [
         "/* per-class mean mel prototypes (uint8, features scaled x255) */",

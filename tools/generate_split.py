@@ -40,14 +40,10 @@ def collect_folder(root: Path) -> list[tuple[str, str]]:
 
 
 def collect_fsc22(root: Path) -> list[tuple[str, str]]:
-    import pandas as pd
+    from audio_edge_ml_pipeline_tpu.data.loaders import fsc22_metadata
 
-    csvs = list(root.glob("Metadata-*/Metadata/*.csv"))
-    if not csvs:
-        raise FileNotFoundError(f"No FSC22 metadata CSV under {root}")
-    df = pd.read_csv(csvs[0])
-    df.columns = df.columns.str.strip()
-    return [(str(r["Dataset File Name"]), str(r["Class Name"]).strip()) for _, r in df.iterrows()]
+    _, df = fsc22_metadata(root)
+    return [(str(r["Dataset File Name"]), str(r["Class Name"])) for _, r in df.iterrows()]
 
 
 def main() -> None:

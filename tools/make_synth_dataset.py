@@ -52,6 +52,13 @@ def synth_clip(class_idx: int, item_idx: int, sr: int = 16000, seconds: float = 
     return (0.8 * y / peak).astype(np.float32)
 
 
+def class_name(c: int) -> str:
+    """Unique name per class index — wrapping CLASS_NAMES would merge two
+    signal families under one label (and overwrite audio_folder files)."""
+    base = CLASS_NAMES[c % len(CLASS_NAMES)]
+    return base if c < len(CLASS_NAMES) else f"{base}{c // len(CLASS_NAMES) + 1}"
+
+
 def make_fsc22(root: Path, n_classes: int, per_class: int, sr: int) -> None:
     audio_dir = root / "Audio Wise V1.0-20260101" / "Audio Wise V1.0"
     meta_dir = root / "Metadata-20260101" / "Metadata"
@@ -62,13 +69,13 @@ def make_fsc22(root: Path, n_classes: int, per_class: int, sr: int) -> None:
         for i in range(per_class):
             fname = f"{c + 1}_{i + 1}.wav"
             write_wav(audio_dir / fname, synth_clip(c, i, sr=sr), sr)
-            rows.append(f"src_{fname},{fname},{c + 1},{CLASS_NAMES[c % len(CLASS_NAMES)]}")
+            rows.append(f"src_{fname},{fname},{c + 1},{class_name(c)}")
     (meta_dir / "Metadata V1.0 FSC22.csv").write_text("\n".join(rows) + "\n")
 
 
 def make_audio_folder(root: Path, n_classes: int, per_class: int, sr: int) -> None:
     for c in range(n_classes):
-        cdir = root / CLASS_NAMES[c % len(CLASS_NAMES)]
+        cdir = root / class_name(c)
         cdir.mkdir(parents=True, exist_ok=True)
         for i in range(per_class):
             write_wav(cdir / f"clip_{i:03d}.wav", synth_clip(c, i, sr=sr), sr)

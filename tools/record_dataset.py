@@ -31,10 +31,25 @@ _AUDIO_EXTS = {".wav", ".flac", ".ogg", ".mp3", ".aiff"}
 
 
 def _source_clips(source_dir: Path, label: str) -> list[Path]:
-    """Clips of *label* under an audio_folder (Class/file.wav) or flat layout."""
+    """Clips of *label* under an audio_folder (Class/file.wav) layout, or a
+    flat FSC22 layout filtered through the metadata CSV — a flat dir without
+    metadata cannot be class-filtered, so refuse rather than play (and
+    mislabel) clips of every class."""
     class_dir = source_dir / label
-    root = class_dir if class_dir.is_dir() else source_dir
-    return sorted(p for p in root.iterdir() if p.suffix.lower() in _AUDIO_EXTS)
+    if class_dir.is_dir():
+        return sorted(p for p in class_dir.iterdir() if p.suffix.lower() in _AUDIO_EXTS)
+    from audio_edge_ml_pipeline_tpu.data.loaders import fsc22_metadata
+
+    try:
+        audio_dir, df = fsc22_metadata(source_dir)
+    except FileNotFoundError:
+        raise SystemExit(
+            f"{source_dir} has neither a {label}/ subdirectory nor an FSC22 "
+            "metadata CSV — cannot select clips of one class from a flat dir"
+        )
+    names = set(df[df["Class Name"] == label]["Dataset File Name"].astype(str))
+    root = audio_dir or source_dir
+    return sorted(p for p in root.iterdir() if p.name in names)
 
 
 def record(ser, out_dir: Path, label: str, count: int, sample_rate: int,
@@ -42,7 +57,10 @@ def record(ser, out_dir: Path, label: str, count: int, sample_rate: int,
            rng: random.Random | None = None) -> list[Path]:
     class_dir = out_dir / label
     class_dir.mkdir(parents=True, exist_ok=True)
-    existing = len(list(class_dir.glob("rec_*.wav")))
+    # next index after the HIGHEST existing one — a count would re-use
+    # indices (and overwrite captures) whenever numbering has gaps
+    taken = [int(p.stem[4:]) for p in class_dir.glob("rec_*.wav") if p.stem[4:].isdigit()]
+    existing = max(taken) + 1 if taken else 0
     saved = []
     for i in range(count):
         if source_clips:
