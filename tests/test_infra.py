@@ -241,3 +241,23 @@ def test_sharded_extraction_parity(tmp_path):
     y0, _ = load_audio(sorted((root / "c0").glob("*.wav"))[0], sr=16000)
     ref = g.mel_spec_feature(y0[:16000], sr=16000)
     assert np.max(np.abs(fs.features[0] - ref)) <= 1e-5
+
+
+def test_tracking_nested_runs_finalize_correctly(tmp_path):
+    """Each ActiveRun context finalizes ITSELF and restores the previous
+    active run (regression: __exit__ ended whatever run was globally
+    active, leaving an outer run stuck status=RUNNING forever)."""
+    from audio_edge_ml_pipeline_tpu.utils import tracking
+
+    tracking.set_tracking_uri(str(tmp_path / "mlruns"))
+    tracking.set_experiment("nested")
+    with tracking.start_run(run_name="outer") as outer:
+        with tracking.start_run(run_name="inner") as inner:
+            assert tracking.active_run() is inner
+        assert tracking.active_run() is outer
+        assert inner.info.status == "FINISHED"
+        outer.log_metric("m", 1.0)  # outer still usable after inner closed
+    assert outer.info.status == "FINISHED"
+    assert tracking.active_run() is None
+    finished = {r.run_name for r in tracking.search_runs("nested", status="FINISHED")}
+    assert finished == {"outer", "inner"}
