@@ -31,9 +31,10 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def run_stage(name: str, argv: list[str], cwd: Path, timings: dict) -> None:
+def run_stage(name: str, argv: list[str], cwd: Path, timings: dict,
+              env: dict | None = None) -> None:
     t0 = time.perf_counter()
-    r = subprocess.run([sys.executable, *argv], cwd=cwd, text=True,
+    r = subprocess.run([sys.executable, *argv], cwd=cwd, text=True, env=env,
                        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
     dt = time.perf_counter() - t0
     timings[name] = round(dt, 1)
@@ -150,10 +151,22 @@ runs:
                                   "--config", str(train_cfg)], work, timings)
     run_stage(f"tune ({args.trials} trials)", ["-m", "audio_edge_ml_pipeline_tpu.train.tune",
                                                "--config", str(tune_cfg)], work, timings)
+    # Quantized-model evaluation runs on HOST CPU: the reference's latency
+    # convention is the onnxruntime CPU EP (quantize.py:345-352), the
+    # emulated-quantization numerics are backend-identical, and the tiny
+    # edge models make device dispatch pure overhead (through the shared
+    # tunnel the same stage measured 27 s and 873 s on identical code).
+    cpu_env = dict(os.environ)
+    cpu_env["JAX_PLATFORMS"] = "cpu"
+    cpu_env["PYTHONPATH"] = os.pathsep.join(
+        x for x in cpu_env.get("PYTHONPATH", "").split(os.pathsep)
+        if x and "axon" not in x
+    )
     run_stage("optimize", ["-m", "audio_edge_ml_pipeline_tpu.optimize.optimize",
                            "--shortlist", str(work / "tuned" / "shortlist.json"),
                            "--output", str(work / "optimized"),
-                           "--mlflow-uri", str(work / "mlruns")], work, timings)
+                           "--mlflow-uri", str(work / "mlruns")], work, timings,
+              env=cpu_env)
     run_stage("select post-opt", ["-m", "audio_edge_ml_pipeline_tpu.train.select", "--post-opt",
                                   "--shortlist", str(work / "tuned" / "shortlist.json"),
                                   "--opt-dir", str(work / "optimized"),
