@@ -43,7 +43,7 @@ def test_pitch_shift_frequency_and_duration():
     assert abs(peak_hz - expected) < 12, (peak_hz, expected)
 
 
-def test_simple_augmentors(rng):
+def test_simple_augmentors():
     from audio_edge_ml_pipeline_tpu.features.augment import AUGMENTORS
 
     y = (0.5 * np.sin(2 * np.pi * 220 * np.arange(8000) / 16000)).astype(np.float32)

@@ -10,7 +10,6 @@ import numpy as np
 import pytest
 
 REPO = Path(__file__).resolve().parent.parent
-sys.path.insert(0, str(REPO / "tools"))
 
 
 @pytest.fixture(scope="module")

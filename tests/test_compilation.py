@@ -76,8 +76,8 @@ def test_to_tflite_cli(mlp_setup, tmp_path):
     assert report["modes"]["fp32"]["accuracy"] > 0.7
     assert report["fp32_accuracy"] == report["modes"]["fp32"]["accuracy"]
     assert report["n_classes"] == 3 and report["n_val_samples"] == 30
-    if "dynamic" in report["modes"]:
-        assert report["modes"]["dynamic"]["size_kb"] <= report["modes"]["fp32"]["size_kb"]
+    assert "dynamic" in report["modes"], "dynamic-range int8 mode missing from report"
+    assert report["modes"]["dynamic"]["size_kb"] <= report["modes"]["fp32"]["size_kb"]
     best = report["best_mode"]
     assert report["fp32_accuracy"] - report["modes"][best]["accuracy"] <= 0.05 + 1e-9
     assert report["best_size_kb"] == report["modes"][best]["size_kb"]

@@ -23,7 +23,7 @@ def synth_root(tmp_path_factory):
     return root
 
 
-def test_wav_roundtrip(tmp_path, rng):
+def test_wav_roundtrip(tmp_path):
     from audio_edge_ml_pipeline_tpu.data.audio_io import load_audio, probe_audio, read_wav, write_wav
 
     y = (0.5 * np.sin(2 * np.pi * 440 * np.arange(16000) / 16000)).astype(np.float32)

@@ -113,7 +113,7 @@ def test_mfcc_seq_parity(batch22k):
     out = np.asarray(dsp.mfcc_seq_feature(jnp.asarray(y), sr=sr))
     ref = _golden_stack(lambda c: g.mfcc_seq_feature(c, sr=sr), y)
     err = np.max(np.abs(out - ref))
-    assert err <= 1e-4, f"mfcc_seq parity {err:.3e}"  # z-scored, f32
+    assert err <= 1e-5, f"mfcc_seq parity {err:.3e}"  # measured 5.5e-6 (z-scored, f32)
 
 
 def test_raw_mfcc_parity(batch22k):
@@ -141,6 +141,9 @@ def test_cqt_feature_parity(batch22k):
     out = np.asarray(dsp.cqt_feature(jnp.asarray(y), sr=sr))
     ref = _golden_stack(lambda c: g.cqt_feature(c, sr=sr), y)
     err = np.max(np.abs(out - ref))
+    # [0,1]-normalized dB over ~9 octaves of per-octave f32 filterbank
+    # accumulation: measured 1.5e-5; the <=1e-5 BASELINE gate applies to
+    # the mel extraction path (bench.py enforces it on-chip every run)
     assert err <= 2e-5, f"cqt parity {err:.3e}"
 
 

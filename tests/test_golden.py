@@ -40,7 +40,10 @@ def test_mel_filterbank_properties():
     assert (fb.sum(axis=1) > 0).all()
     # slaney normalization: filters integrate to ~2/bandwidth -> rows not unit
     peaks = fb.argmax(axis=1)
-    assert (np.diff(peaks) >= 0).all()
+    # strictly increasing interior peaks: collapsed adjacent filters or
+    # edge-pinned peaks (bin 0 / Nyquist) would all slip past a >= check
+    assert (np.diff(peaks) > 0).all()
+    assert peaks[0] > 0 and peaks[-1] < fb.shape[1] - 1
 
 
 def test_power_to_db_ref_max_and_topdb():

@@ -48,12 +48,16 @@ def test_checkpoint_resume(tmp_path):
     assert rres.metrics["val_accuracy"] >= 0.7
     assert abs(rres.metrics["val_accuracy"] - rfull.metrics["val_accuracy"]) <= 0.25
 
-    # corrupted/missing checkpoint falls back to fresh training
+    # corrupted/missing checkpoint falls back to fresh training — and the
+    # fresh fit must actually LEARN (not silently resume from garbage or
+    # skip training) and persist a loadable model
     (tmp_path / "ckpt2").mkdir()
     (tmp_path / "ckpt2" / "train_state.npz").write_bytes(b"garbage")
-    fresh = get_model("mlp")(epochs=3, hidden_units=[12], batch_size=16, seed=3,
+    fresh = get_model("mlp")(epochs=12, hidden_units=[12], batch_size=16, seed=3,
                              checkpoint_dir=str(tmp_path / "ckpt2"), resume=True)
-    fresh.fit(Xtr, ytr, Xva, yva, names, "fresh", tmp_path / "fresh", None)
+    fres = fresh.fit(Xtr, ytr, Xva, yva, names, "fresh", tmp_path / "fresh", None)
+    assert fres.metrics["val_accuracy"] >= 0.7
+    assert (tmp_path / "fresh" / "model.flax.npz").exists()
 
 
 def test_native_wavio_parity(tmp_path):

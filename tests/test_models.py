@@ -135,19 +135,13 @@ def test_kmeans(flat_data, tmp_path):
     assert "note" in res.metrics
     clusters = trainer.predict(Xva)
     assert set(np.unique(clusters)) <= {0, 1, 2}
-    # clusters should align with true classes up to permutation (blobs)
+    # clusters must align with true classes up to a permutation (clean blobs)
     from itertools import permutations
 
     best = max(
-        sum(np.all([clusters[yva == c] == p[c] for _ in [0]][0] == p[c]) for c in range(3))
-        for p in permutations(range(3))
+        np.mean([p[int(c)] for c in clusters] == yva) for p in permutations(range(3))
     )
-    # weaker check: purity
-    purity = 0
-    for k in range(3):
-        if np.any(clusters == k):
-            purity += np.bincount(yva[clusters == k], minlength=3).max()
-    assert purity / len(yva) > 0.8
+    assert best > 0.9, f"best permutation-aligned accuracy {best:.2f}"
 
 
 @pytest.mark.parametrize("name", ["mlp", "cnn", "ds_cnn", "rnn", "transformer"])

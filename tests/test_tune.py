@@ -68,6 +68,7 @@ def test_median_pruner_prunes():
     study.optimize(obj, n_trials=8)
     states = [t.state for t in study.trials]
     assert states.count(search.TrialState.PRUNED) >= 3
+    assert all(n >= 3 for n in pruned), f"pruned an early GOOD trial: {pruned}"
     assert study.best_value > 0.9
 
 
