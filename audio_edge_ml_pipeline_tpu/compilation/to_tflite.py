@@ -172,7 +172,7 @@ def compile_model(
     # No-filter sanity guard: a model trained on a filtered subset cannot be
     # evaluated against the full label set (reference to_tflite.py:191-199).
     n_model_classes = int(trainer._arch_dict.get("n_classes", 0))
-    if not class_filter and n_model_classes and n_model_classes < len(label_names):
+    if not class_filter and n_model_classes and label_names and n_model_classes != len(label_names):
         raise ValueError(
             f"Model has {n_model_classes} output classes but the feature set has "
             f"{len(label_names)}; pass --class-filter with the training-time classes."

@@ -35,6 +35,62 @@ logger = logging.getLogger(__name__)
 
 _NICLA_RATES = (16000, 32000)
 
+_KERNEL_ERR = (
+    "The ulab runtime evaluates linear one-vs-one decision functions; "
+    "got kernel={kernel!r}. Retrain pca_svm with kernel: linear."
+)
+
+
+def _arrays_from_jax_bundle(model_path: Path) -> dict:
+    """Extract the export arrays from a JAX-native pca_svm ``.npz`` bundle
+    (models/classical.py PCASVMTrainer): the OvO dual-coefficient matrix is
+    collapsed to explicit linear decision functions in PCA space."""
+    from ..models.classical import PCASVMTrainer
+    from ..models.classical_jax import linear_ovo_coef
+
+    trainer = PCASVMTrainer.load(model_path)
+    state = getattr(trainer, "_state", None)
+    if not state or "pca_components" not in state or "svm_dual" not in state:
+        raise ValueError("export_svm expects a pca_svm bundle (scaler -> pca -> svm)")
+    kernel = str(state["svm_kernel"])
+    if kernel != "linear":
+        raise ValueError(_KERNEL_ERR.format(kernel=kernel))
+    coef, intercept = linear_ovo_coef(state)
+    return {
+        "scaler_mean": np.asarray(state["scaler_mean"], np.float32),
+        "scaler_scale": np.asarray(state["scaler_scale"], np.float32),
+        # bundle layout is sklearn's components_ (k, D) rows
+        "pca_components": np.asarray(state["pca_components"], np.float32).T.copy(),
+        "pca_mean": np.asarray(state["pca_mean"], np.float32),
+        "svm_coef": np.asarray(coef, np.float32),
+        "svm_intercept": np.asarray(intercept, np.float32),
+        "svm_classes": np.arange(int(state["svm_n_classes"]), dtype=np.int32),
+    }
+
+
+def _arrays_from_sklearn_pipeline(model_path: Path) -> dict:
+    """Extract the export arrays from a legacy sklearn Pipeline joblib."""
+    import joblib
+
+    pipeline = joblib.load(model_path)
+    try:
+        scaler = pipeline.named_steps["scaler"]
+        pca = pipeline.named_steps["pca"]
+        svm = pipeline.named_steps["svm"]
+    except (AttributeError, KeyError) as exc:
+        raise ValueError("export_svm expects a pca_svm Pipeline (scaler -> pca -> svm)") from exc
+    if getattr(svm, "kernel", "rbf") != "linear":
+        raise ValueError(_KERNEL_ERR.format(kernel=svm.kernel))
+    return {
+        "scaler_mean": scaler.mean_.astype(np.float32),
+        "scaler_scale": scaler.scale_.astype(np.float32),
+        "pca_components": pca.components_.astype(np.float32),
+        "pca_mean": pca.mean_.astype(np.float32),
+        "svm_coef": svm.coef_.astype(np.float32),
+        "svm_intercept": svm.intercept_.astype(np.float32),
+        "svm_classes": svm.classes_.astype(np.int32),
+    }
+
 
 def export_bundle(
     model_path: Path,
@@ -47,20 +103,11 @@ def export_bundle(
     hop_length: int = 160,
     duration: float = 1.0,
 ) -> Path:
-    import joblib
-
-    pipeline = joblib.load(model_path)
-    try:
-        scaler = pipeline.named_steps["scaler"]
-        pca = pipeline.named_steps["pca"]
-        svm = pipeline.named_steps["svm"]
-    except (AttributeError, KeyError) as exc:
-        raise ValueError("export_svm expects a pca_svm Pipeline (scaler -> pca -> svm)") from exc
-    if getattr(svm, "kernel", "rbf") != "linear":
-        raise ValueError(
-            "The ulab runtime evaluates linear one-vs-one decision functions; "
-            f"got kernel={svm.kernel!r}. Retrain pca_svm with kernel: linear."
-        )
+    model_path = Path(model_path)
+    if model_path.suffix == ".npz":
+        arrays = _arrays_from_jax_bundle(model_path)
+    else:
+        arrays = _arrays_from_sklearn_pipeline(model_path)
     if sample_rate not in _NICLA_RATES:
         logger.warning(
             "sample_rate %d is not supported by the Nicla PDM mic (%s) — "
@@ -70,13 +117,8 @@ def export_bundle(
 
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
-    np.save(output_dir / "scaler_mean.npy", scaler.mean_.astype(np.float32))
-    np.save(output_dir / "scaler_scale.npy", scaler.scale_.astype(np.float32))
-    np.save(output_dir / "pca_components.npy", pca.components_.astype(np.float32))
-    np.save(output_dir / "pca_mean.npy", pca.mean_.astype(np.float32))
-    np.save(output_dir / "svm_coef.npy", svm.coef_.astype(np.float32))
-    np.save(output_dir / "svm_intercept.npy", svm.intercept_.astype(np.float32))
-    np.save(output_dir / "svm_classes.npy", svm.classes_.astype(np.int32))
+    for name, arr in arrays.items():
+        np.save(output_dir / f"{name}.npy", arr)
     np.save(output_dir / "mel_fb.npy", golden.mel_filterbank(sample_rate, n_fft, n_mels).astype(np.float32))
     np.save(output_dir / "dct.npy", golden.dct_ii_ortho_matrix(n_mfcc, n_mels).astype(np.float32))
     (output_dir / "label_names.json").write_text(json.dumps(label_names, indent=2))

@@ -63,63 +63,41 @@ class PipelineConfig:
     manifest_split: Optional[str] = None
     experiments: list[ExperimentConfig] = field(default_factory=list)
 
+    # Fields where a falsy experiment value (0, [], {}) is still an explicit
+    # override — only literal None falls through to the top-level default.
+    # Everything else (strings/paths) inherits on any falsy value.
+    _NONE_FALLTHROUGH = frozenset(
+        {"split", "max_samples", "class_filter", "label_map"}
+    )
+
+    def _shared_field_names(self) -> list[str]:
+        exp_only = {"name"}
+        return [f.name for f in dc_fields(ExperimentConfig) if f.name not in exp_only]
+
     def resolved_experiments(self) -> list[ExperimentConfig]:
         """Merge top-level defaults into each experiment; synthesize a single
         experiment in single-run mode. Raises ValueError on missing
         extractor/loader."""
+        shared = self._shared_field_names()
         if not self.experiments:
             if not self.extractor or not self.loader:
                 raise ValueError(
                     "PipelineConfig: 'extractor' and 'loader' are required "
                     "when no 'experiments' list is provided."
                 )
-            return [
-                ExperimentConfig(
-                    extractor=self.extractor,
-                    loader=self.loader,
-                    dataset=self.dataset,
-                    split=self.split,
-                    output=self.output,
-                    max_samples=self.max_samples,
-                    label_col=self.label_col,
-                    text_col=self.text_col,
-                    audio_folder=self.audio_folder,
-                    image_folder=self.image_folder,
-                    text_folder=self.text_folder,
-                    video_folder=self.video_folder,
-                    extractor_params=self.extractor_params,
-                    class_filter=self.class_filter,
-                    label_map=self.label_map,
-                    manifest=self.manifest,
-                    manifest_split=self.manifest_split,
-                )
-            ]
+            return [ExperimentConfig(**{k: getattr(self, k) for k in shared})]
+
         out: list[ExperimentConfig] = []
         for i, exp in enumerate(self.experiments):
-            merged = ExperimentConfig(
-                extractor=exp.extractor or self.extractor or "",
-                loader=exp.loader or self.loader or "",
-                name=exp.name,
-                dataset=exp.dataset or self.dataset,
-                split=exp.split if exp.split is not None else self.split,
-                output=exp.output or self.output,
-                max_samples=exp.max_samples if exp.max_samples is not None else self.max_samples,
-                label_col=exp.label_col or self.label_col,
-                text_col=exp.text_col or self.text_col,
-                audio_folder=exp.audio_folder or self.audio_folder,
-                image_folder=exp.image_folder or self.image_folder,
-                text_folder=exp.text_folder or self.text_folder,
-                video_folder=exp.video_folder or self.video_folder,
-                extractor_params=exp.extractor_params if exp.extractor_params else self.extractor_params,
-                class_filter=exp.class_filter if exp.class_filter is not None else self.class_filter,
-                label_map=exp.label_map if exp.label_map is not None else self.label_map,
-                manifest=exp.manifest or self.manifest,
-                manifest_split=exp.manifest_split or self.manifest_split,
-            )
-            if not merged.extractor:
-                raise ValueError(f"Experiment #{i} is missing 'extractor'.")
-            if not merged.loader:
-                raise ValueError(f"Experiment #{i} is missing 'loader'.")
+            kw: dict = {"name": exp.name}
+            for k in shared:
+                v = getattr(exp, k)
+                inherit = (v is None) if k in self._NONE_FALLTHROUGH else (not v)
+                kw[k] = getattr(self, k) if inherit else v
+            merged = ExperimentConfig(**kw)
+            for required in ("extractor", "loader"):
+                if not getattr(merged, required):
+                    raise ValueError(f"Experiment #{i} is missing {required!r}.")
             out.append(merged)
         return out
 

@@ -2,18 +2,23 @@
 
 Registered names and behavior match the reference (models/classical.py:
 60-513): svm, lda, decision_tree, random_forest, knn, kmeans, pca_svm,
-pca_lda, pca_knn. Hybrid execution backend:
+pca_lda, pca_knn. Execution backend:
 
-- ``knn`` and ``kmeans`` are JAX-native — pairwise-distance matmuls and
-  Lloyd's iterations run on the accelerator (SURVEY.md §7 step 4).
-- Margin/tree estimators (svm RBF + probability calibration, lda, trees,
-  PCA pipelines) stay on sklearn: tiny models where BLAS on host is already
-  optimal and exact sklearn semantics matter for selection decisions.
+- ``svm``, ``lda``, ``knn``, ``kmeans``, ``pca_svm``, ``pca_lda``,
+  ``pca_knn`` are JAX-native (7 of 9): pairwise-distance matmuls, Lloyd's
+  iterations, Gram-eigh PCA, closed-form LDA, and a batched one-vs-one
+  kernel-SVM dual solver all run on the accelerator
+  (``models/classical_jax.py``; SURVEY.md §7.4). Prediction parity vs
+  sklearn is asserted in tests/test_classical_jax.py.
+- ``decision_tree`` / ``random_forest`` stay on sklearn: axis-aligned
+  greedy tree induction is branch-heavy sequential control flow with no
+  MXU mapping — a deliberate, documented host-side exception.
 
 All trainers flatten ND features to (N, D), save to
 ``<output_dir>/<name>.joblib`` (sklearn) or ``<name>.npz`` (JAX), and emit
 the same artifacts (classification_report.txt, confusion_matrix.png,
-model_info.json).
+model_info.json). JAX trainers' ``load`` transparently falls back to
+legacy ``.joblib`` artifacts written by earlier versions.
 """
 
 from __future__ import annotations
@@ -112,28 +117,6 @@ class SklearnTrainer(BaseTrainer):
 
 
 @register_model
-class SVMTrainer(SklearnTrainer):
-    """SVC(RBF) with probability calibration and balanced class weights."""
-
-    name = "svm"
-
-    def __init__(self, C: float = 1.0, kernel: str = "rbf", gamma="scale", **_):
-        from sklearn.svm import SVC
-
-        super().__init__(SVC(C=C, kernel=kernel, gamma=gamma, probability=True, class_weight="balanced"))
-
-
-@register_model
-class LDATrainer(SklearnTrainer):
-    name = "lda"
-
-    def __init__(self, n_components: Optional[int] = None, solver: str = "svd", **_):
-        from sklearn.discriminant_analysis import LinearDiscriminantAnalysis
-
-        super().__init__(LinearDiscriminantAnalysis(n_components=n_components, solver=solver))
-
-
-@register_model
 class DecisionTreeTrainer(SklearnTrainer):
     name = "decision_tree"
 
@@ -151,76 +134,6 @@ class RandomForestTrainer(SklearnTrainer):
         from sklearn.ensemble import RandomForestClassifier
 
         super().__init__(RandomForestClassifier(n_estimators=n_estimators, max_depth=max_depth, n_jobs=-1, random_state=42))
-
-
-@register_model
-class PCASVMTrainer(SklearnTrainer):
-    name = "pca_svm"
-
-    def __init__(self, n_components: int = 50, C: float = 1.0, kernel: str = "rbf",
-                 gamma="scale", **_):
-        from sklearn.decomposition import PCA
-        from sklearn.pipeline import Pipeline
-        from sklearn.preprocessing import StandardScaler
-        from sklearn.svm import SVC
-
-        super().__init__(
-            Pipeline(
-                [
-                    ("scaler", StandardScaler()),
-                    ("pca", PCA(n_components=n_components, random_state=42)),
-                    ("svm", SVC(C=C, kernel=kernel, gamma=gamma, probability=True, class_weight="balanced")),
-                ]
-            )
-        )
-
-
-@register_model
-class PCALDATrainer(SklearnTrainer):
-    name = "pca_lda"
-
-    def __init__(self, n_components_pca: Optional[int] = None,
-                 n_components_lda: Optional[int] = None, solver: str = "svd",
-                 n_components: Optional[int] = None, **_):
-        # n_components_pca / n_components_lda are the reference's knob names
-        # (classical.py:448-470); n_components kept as a PCA-dim alias
-        from sklearn.decomposition import PCA
-        from sklearn.discriminant_analysis import LinearDiscriminantAnalysis
-        from sklearn.pipeline import Pipeline
-        from sklearn.preprocessing import StandardScaler
-
-        pca_dim = n_components_pca if n_components_pca is not None else (n_components or 50)
-        super().__init__(
-            Pipeline(
-                [
-                    ("scaler", StandardScaler()),
-                    ("pca", PCA(n_components=pca_dim, random_state=42)),
-                    ("lda", LinearDiscriminantAnalysis(n_components=n_components_lda, solver=solver)),
-                ]
-            )
-        )
-
-
-@register_model
-class PCAKNNTrainer(SklearnTrainer):
-    name = "pca_knn"
-
-    def __init__(self, n_components: int = 50, n_neighbors: int = 5,
-                 metric: str = "minkowski", **_):
-        from sklearn.decomposition import PCA
-        from sklearn.neighbors import KNeighborsClassifier
-        from sklearn.pipeline import Pipeline
-        from sklearn.preprocessing import StandardScaler
-
-        super().__init__(
-            Pipeline(
-                [
-                    ("scaler", StandardScaler()),
-                    ("pca", PCA(n_components=n_components, random_state=42)),
-                    ("knn", KNeighborsClassifier(n_neighbors=n_neighbors, metric=metric)),
-                ]
-            )
-        )
 
 
 # ---------------------------------------------------------------------------
@@ -294,10 +207,14 @@ class KNNTrainer(BaseTrainer):
         k = min(self.n_neighbors, len(self._X))
         return np.asarray(_knn_counts(q, self._X, self._y, k, self._n_classes, self.metric))
 
+    def _fit_body(self, X, y, n_classes: int) -> None:
+        # shared entry point with the grid-search engine (search_jax)
+        self._X = self.flatten(np.asarray(X)).astype(np.float32)
+        self._y = np.asarray(y).astype(np.int32)
+        self._n_classes = n_classes
+
     def fit(self, X_train, y_train, X_val, y_val, label_names, run_name, output_dir, mlflow_run) -> TrainResult:
-        self._X = self.flatten(np.asarray(X_train)).astype(np.float32)
-        self._y = np.asarray(y_train).astype(np.int32)
-        self._n_classes = len(label_names)
+        self._fit_body(X_train, y_train, len(label_names))
         y_pred_val = self.predict(X_val)
         val_metrics = compute_metrics(y_val, y_pred_val, label_names=label_names)
         params = {"model": self.name, "n_neighbors": str(self.n_neighbors), "backend": "jax"}
@@ -407,3 +324,252 @@ class KMeansTrainer(BaseTrainer):
         inst = cls()
         inst._centers = d["centers"]
         return inst
+
+
+# ---------------------------------------------------------------------------
+# JAX-native margin / discriminant trainers (models/classical_jax.py core)
+# ---------------------------------------------------------------------------
+
+
+class _JaxStateTrainer(BaseTrainer):
+    """Shared persistence for trainers whose fitted model is a flat dict of
+    numpy arrays (``_state``): one ``.npz`` with a JSON ``__meta__`` entry,
+    readable by numpy alone. ``load`` falls back to legacy sklearn
+    ``.joblib`` artifacts for backward compatibility."""
+
+    model_type = "classical"
+    _meta_fields: tuple = ()
+
+    def save(self, path: Path) -> None:
+        import json
+
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        meta = {"name": self.name, **{k: getattr(self, k) for k in self._meta_fields}}
+        np.savez(path, __meta__=json.dumps(meta), **self._state)
+
+    @classmethod
+    def load(cls, path: Path):
+        import json
+
+        path = Path(path)
+        if path.suffix == ".joblib":  # legacy sklearn artifact
+            inst = SklearnTrainer.load(path)
+            inst.name = cls.name
+            return inst
+        d = np.load(path, allow_pickle=False)
+        meta = json.loads(str(d["__meta__"]))
+        inst = cls(**{k: meta[k] for k in cls._meta_fields if k in meta})
+        inst._state = {k: d[k] for k in d.files if k != "__meta__"}
+        return inst
+
+    def _fit_body(self, X_train, y_train, n_classes: int) -> None:
+        raise NotImplementedError
+
+    def _extra_params(self) -> dict:
+        return {}
+
+    def fit(self, X_train, y_train, X_val, y_val, label_names, run_name, output_dir, mlflow_run) -> TrainResult:
+        X_train = self.flatten(np.asarray(X_train)).astype(np.float32)
+        X_val = self.flatten(np.asarray(X_val)).astype(np.float32)
+        y_train = np.asarray(y_train).astype(np.int32)
+        logger.info("Training %s (jax) on %d samples ...", self.name, len(X_train))
+        self._fit_body(X_train, y_train, len(label_names))
+        y_pred_val = self.predict(X_val)
+        val_metrics = compute_metrics(y_val, y_pred_val, self.predict_proba(X_val), label_names)
+        params = {"model": self.name, "backend": "jax",
+                  **{k: str(getattr(self, k)) for k in self._meta_fields}}
+        return _finish_fit(self, y_val, y_pred_val, val_metrics, label_names, run_name,
+                           output_dir, mlflow_run, params, f"{self.name}.npz")
+
+
+@register_model
+class SVMTrainer(_JaxStateTrainer):
+    """One-vs-one kernel SVM (rbf/linear) with balanced class weights and
+    Platt/pairwise-coupling probabilities. All K(K-1)/2 dual QPs are solved
+    simultaneously on the accelerator (classical_jax.fit_svm_np)."""
+
+    name = "svm"
+    _meta_fields = ("C", "kernel", "gamma", "iters")
+
+    def __init__(self, C: float = 1.0, kernel: str = "rbf", gamma="scale", iters: int = 800, **_):
+        self.C = float(C)
+        self.kernel = kernel
+        self.gamma = gamma
+        self.iters = int(iters)
+        self._state: dict = {}
+
+    def _fit_body(self, X, y, n_classes):
+        from . import classical_jax as cj
+
+        self._state = cj.fit_svm_np(X, y, n_classes, C=self.C, kernel=self.kernel,
+                                    gamma=self.gamma, iters=self.iters)
+
+    def predict(self, X):
+        from . import classical_jax as cj
+
+        return cj.predict_svm_np(self.flatten(np.asarray(X)).astype(np.float32), self._state)
+
+    def predict_proba(self, X):
+        from . import classical_jax as cj
+
+        return cj.predict_proba_svm_np(self.flatten(np.asarray(X)).astype(np.float32), self._state)
+
+
+@register_model
+class LDATrainer(_JaxStateTrainer):
+    """Closed-form Gaussian LDA (classical_jax.fit_lda_np): class means via
+    one-hot matmuls, pooled covariance Cholesky solve; softmax probability.
+    ``n_components``/``solver`` are accepted for grid compatibility — they
+    affect only the transform in sklearn, never classification."""
+
+    name = "lda"
+    _meta_fields = ()
+
+    def __init__(self, n_components: Optional[int] = None, solver: str = "svd", **_):
+        self.n_components = n_components
+        self.solver = solver
+        self._state: dict = {}
+
+    def _fit_body(self, X, y, n_classes):
+        from . import classical_jax as cj
+
+        self._state = cj.fit_lda_np(X, y, n_classes)
+
+    def _decision(self, X):
+        from . import classical_jax as cj
+
+        return cj.lda_decision_np(self.flatten(np.asarray(X)).astype(np.float32), self._state)
+
+    def predict(self, X):
+        return self._decision(X).argmax(1).astype(np.int32)
+
+    def predict_proba(self, X):
+        from . import classical_jax as cj
+
+        return cj.softmax_np(self._decision(X))
+
+
+class _PCAPipelineTrainer(_JaxStateTrainer):
+    """scaler -> PCA front-end (Gram-eigh, classical_jax.fit_scaler_pca_np)
+    shared by the pca_* pipelines."""
+
+    def _fit_pca(self, X, n_components: int) -> np.ndarray:
+        from . import classical_jax as cj
+
+        self._state = cj.fit_scaler_pca_np(X, n_components)
+        return cj.transform_scaler_pca_np(X, self._state)
+
+    def _transform(self, X) -> np.ndarray:
+        from . import classical_jax as cj
+
+        return cj.transform_scaler_pca_np(
+            self.flatten(np.asarray(X)).astype(np.float32), self._state
+        )
+
+
+@register_model
+class PCASVMTrainer(_PCAPipelineTrainer):
+    """scaler -> PCA -> OvO kernel SVM, all on the accelerator. With
+    kernel='linear' the fitted model collapses to explicit OvO coefficients
+    for deploy/export_svm (MicroPython runtime contract)."""
+
+    name = "pca_svm"
+    _meta_fields = ("n_components", "C", "kernel", "gamma", "iters")
+
+    def __init__(self, n_components: int = 50, C: float = 1.0, kernel: str = "rbf",
+                 gamma="scale", iters: int = 800, **_):
+        self.n_components = int(n_components)
+        self.C = float(C)
+        self.kernel = kernel
+        self.gamma = gamma
+        self.iters = int(iters)
+        self._state: dict = {}
+
+    def _fit_body(self, X, y, n_classes):
+        from . import classical_jax as cj
+
+        Z = self._fit_pca(X, self.n_components)
+        self._state.update(cj.fit_svm_np(Z, y, n_classes, C=self.C, kernel=self.kernel,
+                                         gamma=self.gamma, iters=self.iters))
+
+    def predict(self, X):
+        from . import classical_jax as cj
+
+        return cj.predict_svm_np(self._transform(X), self._state)
+
+    def predict_proba(self, X):
+        from . import classical_jax as cj
+
+        return cj.predict_proba_svm_np(self._transform(X), self._state)
+
+
+@register_model
+class PCALDATrainer(_PCAPipelineTrainer):
+    name = "pca_lda"
+    _meta_fields = ("n_components", "n_components_lda")
+
+    def __init__(self, n_components_pca: Optional[int] = None,
+                 n_components_lda: Optional[int] = None, solver: str = "svd",
+                 n_components: Optional[int] = None, **_):
+        # n_components_pca / n_components_lda are the reference's knob names
+        # (classical.py:448-470); n_components kept as a PCA-dim alias.
+        # n_components_lda bounds only the LDA *transform* dimensionality in
+        # sklearn — classification is unaffected — but it is persisted so
+        # grid configs round-trip.
+        self.n_components = int(n_components_pca if n_components_pca is not None
+                                else (n_components or 50))
+        self.n_components_lda = n_components_lda
+        self._state: dict = {}
+
+    def _fit_body(self, X, y, n_classes):
+        from . import classical_jax as cj
+
+        Z = self._fit_pca(X, self.n_components)
+        self._state.update(cj.fit_lda_np(Z, y, n_classes))
+
+    def _decision(self, X):
+        from . import classical_jax as cj
+
+        return cj.lda_decision_np(self._transform(X), self._state)
+
+    def predict(self, X):
+        return self._decision(X).argmax(1).astype(np.int32)
+
+    def predict_proba(self, X):
+        from . import classical_jax as cj
+
+        return cj.softmax_np(self._decision(X))
+
+
+@register_model
+class PCAKNNTrainer(_PCAPipelineTrainer):
+    name = "pca_knn"
+    _meta_fields = ("n_components", "n_neighbors", "metric")
+
+    def __init__(self, n_components: int = 50, n_neighbors: int = 5,
+                 metric: str = "minkowski", **_):
+        if metric not in ("minkowski", "euclidean", "cosine"):
+            raise ValueError(f"pca_knn metric must be minkowski/euclidean/cosine, got {metric!r}")
+        self.n_components = int(n_components)
+        self.n_neighbors = int(n_neighbors)
+        self.metric = metric
+        self._state: dict = {}
+
+    def _fit_body(self, X, y, n_classes):
+        Z = self._fit_pca(X, self.n_components)
+        self._state["knn_X"] = np.asarray(Z, np.float32)
+        self._state["knn_y"] = np.asarray(y, np.int32)
+        self._state["knn_n_classes"] = np.int32(n_classes)
+
+    def _counts(self, X):
+        Z = self._transform(X)
+        k = min(self.n_neighbors, len(self._state["knn_X"]))
+        return np.asarray(_knn_counts(Z, self._state["knn_X"], self._state["knn_y"],
+                                      k, int(self._state["knn_n_classes"]), self.metric))
+
+    def predict(self, X):
+        return self._counts(X).argmax(-1).astype(np.int32)
+
+    def predict_proba(self, X):
+        c = self._counts(X)
+        return c / c.sum(axis=1, keepdims=True)

@@ -219,7 +219,9 @@ def main(argv=None) -> None:
         return
     import threading
 
-    sims = [make_sim(f"{args.device_id}{i or ''}", i) for i in range(args.num_devices)]
+    # explicit "-N" suffix: "sim0" + concat would yield ambiguous ids (sim01)
+    sims = [make_sim(args.device_id if i == 0 else f"{args.device_id}-{i}", i)
+            for i in range(args.num_devices)]
     threads = [
         threading.Thread(
             target=s.run, args=(args.n, args.interval), kwargs={"duration": args.duration}

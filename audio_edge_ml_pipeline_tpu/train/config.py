@@ -47,29 +47,27 @@ class TrainConfig:
     auto_select_metric: str = "val_f1_macro"
     auto_select_min_accuracy: Optional[float] = None
 
+    # run fields that inherit the top-level value when left as None
+    _INHERITED = ("features_dir", "features_test_dir", "output_dir",
+                  "val_split", "cv_random_state", "class_filter")
+
     def resolved_runs(self) -> list[ModelRunConfig]:
         """Merge defaults into each run; a list-valued cv_folds fans out one
         run per fold count with a _cvK name suffix."""
         resolved = []
         for run in self.runs:
             base_name = run.name or run.model
+            inherited = {
+                k: getattr(run, k) if getattr(run, k) is not None else getattr(self, k)
+                for k in self._INHERITED
+            }
             effective = run.cv_folds if run.cv_folds is not None else self.cv_folds
             fold_list = effective if isinstance(effective, list) else [effective]
             for k in fold_list:
                 name = f"{base_name}_cv{k}" if len(fold_list) > 1 and k > 0 else base_name
                 resolved.append(
-                    ModelRunConfig(
-                        model=run.model,
-                        name=name,
-                        features_dir=run.features_dir or self.features_dir,
-                        features_test_dir=run.features_test_dir or self.features_test_dir,
-                        output_dir=run.output_dir or self.output_dir,
-                        val_split=run.val_split if run.val_split is not None else self.val_split,
-                        cv_folds=k,
-                        cv_random_state=run.cv_random_state if run.cv_random_state is not None else self.cv_random_state,
-                        params=run.params,
-                        class_filter=run.class_filter if run.class_filter is not None else self.class_filter,
-                    )
+                    ModelRunConfig(model=run.model, name=name, cv_folds=k,
+                                   params=run.params, **inherited)
                 )
         return resolved
 

@@ -175,12 +175,28 @@ def _tune_classical(run_cfg: dict, default_cfg: dict) -> Optional[dict]:
     X_flat = X.reshape(len(X), -1).astype(np.float32)
     X_train, X_val, y_train, y_val = _split(X_flat, y, val_split)
     n_combos = math.prod(len(v) for v in param_grid.values()) if param_grid else 1
-    logger.info("[%s] GridSearchCV: %d combination(s) x %d folds = %d fits", run_label, n_combos, cv, n_combos * cv)
 
-    best_estimator, best_params, cv_best_score = search.grid_search_cv(
-        _build_estimator(model_name), _remap_param_grid(model_name, param_grid),
-        X_train, y_train, cv=cv, scoring=scoring,
-    )
+    from . import search_jax
+
+    jax_native = model_name in search_jax.JAX_TUNABLE
+    if jax_native:
+        # fold-batched device path: every fold of a cell in ONE compiled
+        # program; C/gamma cells reuse the program (SURVEY §2c/§7.5)
+        tune_parallel = int(_cfg(run_cfg, default_cfg, "tune_parallel", 1) or 1)
+        logger.info("[%s] grid-jax: %d combination(s), %d folds batched on device%s",
+                    run_label, n_combos, cv,
+                    f" across {tune_parallel} devices" if tune_parallel > 1 else "")
+        best_estimator, best_params, cv_best_score = search_jax.grid_search_cv_jax(
+            model_name, param_grid, X_train, y_train, cv=cv, scoring=scoring,
+            devices=tune_parallel,
+        )
+    else:
+        logger.info("[%s] GridSearchCV: %d combination(s) x %d folds = %d fits",
+                    run_label, n_combos, cv, n_combos * cv)
+        best_estimator, best_params, cv_best_score = search.grid_search_cv(
+            _build_estimator(model_name), _remap_param_grid(model_name, param_grid),
+            X_train, y_train, cv=cv, scoring=scoring,
+        )
     logger.info("[%s] Best CV %s = %.4f -> %s", run_label, scoring, cv_best_score, dict(best_params))
 
     y_pred_val = best_estimator.predict(X_val)
@@ -210,8 +226,12 @@ def _tune_classical(run_cfg: dict, default_cfg: dict) -> Optional[dict]:
             )
 
     output_dir.mkdir(parents=True, exist_ok=True)
-    model_path = output_dir / f"{model_name}.joblib"
-    joblib.dump(best_estimator, model_path)
+    if jax_native:
+        model_path = output_dir / f"{model_name}.npz"
+        best_estimator.save(model_path)
+    else:
+        model_path = output_dir / f"{model_name}.joblib"
+        joblib.dump(best_estimator, model_path)
     model_size_kb = model_path.stat().st_size / 1024
 
     run_name = f"{run_label}_{datetime.now().strftime('%Y%m%d_%H%M%S')}"

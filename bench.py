@@ -74,7 +74,14 @@ def main() -> None:
     try:
         waves = jax.device_put(jnp.asarray(np.tile(base, (B // len(base), 1))))
         pipeline(params, waves[:B]).block_until_ready()
-    except Exception:
+    except Exception as exc:
+        # only an OOM justifies the smaller-batch fallback; anything else
+        # (compile error, bad params) must not hide behind a 4096 score
+        msg = str(exc)
+        if not ("RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg or "out of memory" in msg.lower()):
+            raise
+        import sys
+        print(f"B=8192 OOM, falling back to 4096: {msg.splitlines()[0][:160]}", file=sys.stderr)
         B = 4096
         waves = jax.device_put(jnp.asarray(np.tile(base, (B // len(base), 1))))
 

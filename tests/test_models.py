@@ -123,9 +123,10 @@ def test_pca_lda_reference_knobs(flat_data, tmp_path):
     Xtr, ytr, Xva, yva = flat_data
     trainer = get_model("pca_lda")(n_components_pca=4, n_components_lda=1)
     trainer.fit(Xtr, ytr, Xva, yva, ["a", "b", "c"], "pca_lda_k", tmp_path / "pl", None)
-    pipe = trainer._estimator
-    assert pipe.named_steps["pca"].n_components == 4
-    assert pipe.named_steps["lda"].n_components == 1
+    assert trainer.n_components == 4
+    assert trainer.n_components_lda == 1
+    # the fitted PCA basis really is 4-dimensional
+    assert trainer._state["pca_components"].shape[1] == 4
 
 
 def test_kmeans(flat_data, tmp_path):

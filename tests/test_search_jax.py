@@ -1,0 +1,125 @@
+"""Fold-batched grid search (train/search_jax.py).
+
+The tuning stage's TPU-native replacement for GridSearchCV(n_jobs=-1)
+(reference training/tune.py:269-276): all CV folds of a grid cell run as
+one batched device program, optionally sharded fold-wise over a mesh.
+"""
+
+from __future__ import annotations
+
+import time
+import warnings
+
+import numpy as np
+import pytest
+
+from audio_edge_ml_pipeline_tpu.models import classical_jax as cj
+from audio_edge_ml_pipeline_tpu.train import search_jax as sj
+
+warnings.filterwarnings("ignore", category=FutureWarning)
+
+
+@pytest.fixture(scope="module")
+def data():
+    K, per, D = 6, 40, 32
+    rng = np.random.default_rng(5)
+    means = rng.standard_normal((K, D)) * 0.8
+    X = np.concatenate([means[k] + rng.standard_normal((per, D)) for k in range(K)]).astype(np.float32)
+    y = np.repeat(np.arange(K), per).astype(np.int64)
+    perm = rng.permutation(len(X))
+    return X[perm], y[perm]
+
+
+def _sequential_cv_svm(X, y, fold_of, n_classes, C, scoring="f1_macro"):
+    """The naive path: one solver dispatch per fold (what the batched
+    engine replaces). Same fold split, same solver, same iteration count."""
+    scores = []
+    for f in range(int(fold_of.max()) + 1):
+        tr = fold_of != f
+        va = ~tr
+        state = cj.fit_svm_np(X[tr], y[tr], n_classes, C=C, kernel="rbf",
+                              gamma="scale", iters=sj._DEFAULT_ITERS)
+        pred = cj.predict_svm_np(X[va], state)
+        scores.append(sj._score(y[va], pred, scoring))
+    return scores
+
+
+def test_batched_cv_matches_sequential(data):
+    """The fold-batched program must reproduce the per-fold sequential
+    fits' scores (same split, same QP solver)."""
+    X, y = data
+    n_classes = int(y.max()) + 1
+    fold_of = sj.stratified_fold_ids(y, 4, seed=0)
+    engine = sj._CVEngine(X, y.astype(np.int32), fold_of, n_classes)
+    batched = engine.eval_svm({"C": 1.0, "kernel": "rbf", "gamma": "scale"}, "f1_macro")
+    sequential = _sequential_cv_svm(X, y, fold_of, n_classes, C=1.0)
+    np.testing.assert_allclose(batched, sequential, atol=0.02)
+
+
+def test_grid_search_cv_jax_end_to_end(data):
+    X, y = data
+    trainer, best, score = sj.grid_search_cv_jax(
+        "pca_svm", {"n_components": [8, 16], "C": [1.0]}, X, y, cv=4
+    )
+    assert set(best) == {"n_components", "C"}
+    assert score > 0.9
+    assert trainer.predict(X[:8]).shape == (8,)
+    proba = trainer.predict_proba(X[:8])
+    np.testing.assert_allclose(proba.sum(1), 1.0, atol=1e-5)
+
+
+def test_cells_reuse_compiled_program(data):
+    """C/gamma grid cells must share one compiled CV program."""
+    X, y = data
+    fold_of = sj.stratified_fold_ids(y, 4, seed=0)
+    engine = sj._CVEngine(X, y.astype(np.int32), fold_of, int(y.max()) + 1)
+    fn = engine.k.svm_cv(True, "rbf", "scale", sj._DEFAULT_ITERS)
+    engine.eval_svm({"C": 0.5}, "f1_macro")
+    n0 = fn._cache_size()
+    engine.eval_svm({"C": 2.0}, "f1_macro")
+    engine.eval_svm({"C": 8.0}, "f1_macro")
+    assert fn._cache_size() == n0
+
+
+def test_mesh_sharded_folds_match_single_device(data):
+    """devices=8 (virtual CPU mesh): fold-sharded evaluation returns the
+    same scores as the unsharded program (folds padded with zero-weight
+    dummies)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the 8-virtual-device CPU test config")
+    X, y = data
+    n_classes = int(y.max()) + 1
+    fold_of = sj.stratified_fold_ids(y, 5, seed=1)
+    plain = sj._CVEngine(X, y.astype(np.int32), fold_of, n_classes, devices=1)
+    sharded = sj._CVEngine(X, y.astype(np.int32), fold_of, n_classes, devices=8)
+    assert sharded.mesh is not None
+    for model, cell in [("svm", {"C": 1.0}), ("lda", {}),
+                        ("pca_knn", {"n_components": 8, "n_neighbors": 5})]:
+        s0 = plain.eval_cell(model, cell, "f1_macro")
+        s1 = sharded.eval_cell(model, cell, "f1_macro")
+        np.testing.assert_allclose(s0, s1, atol=5e-3, err_msg=model)
+
+
+def test_batched_beats_sequential_wall_clock(data):
+    """The point of the redesign: one batched dispatch across folds is
+    materially faster than the sequential per-fold loop (>= 2x here on
+    CPU; the gap widens on TPU where per-dispatch overhead is ~25 ms)."""
+    X, y = data
+    n_classes = int(y.max()) + 1
+    fold_of = sj.stratified_fold_ids(y, 4, seed=0)
+    engine = sj._CVEngine(X, y.astype(np.int32), fold_of, n_classes)
+    # warm both paths (compile excluded from timing)
+    engine.eval_svm({"C": 1.0}, "f1_macro")
+    _sequential_cv_svm(X, y, fold_of, n_classes, C=1.0)
+
+    t0 = time.perf_counter()
+    engine.eval_svm({"C": 2.0}, "f1_macro")
+    t_batched = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _sequential_cv_svm(X, y, fold_of, n_classes, C=2.0)
+    t_seq = time.perf_counter() - t0
+    ratio = t_seq / max(t_batched, 1e-9)
+    print(f"batched={t_batched:.3f}s sequential={t_seq:.3f}s ratio={ratio:.1f}x")
+    assert ratio >= 2.0, f"batched CV only {ratio:.2f}x faster than sequential"

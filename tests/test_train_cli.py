@@ -66,7 +66,7 @@ def test_single_run_cli(feature_dirs, tmp_path):
     assert r.returncode == 0, r.stderr
     info = json.loads((out / "lda" / "model_info.json").read_text())
     assert info["val_accuracy"] > 0.8
-    assert (out / "lda" / "lda.joblib").exists()
+    assert (out / "lda" / "lda.npz").exists()  # lda is JAX-native now
     assert "Test accuracy" in r.stderr  # held-out eval ran
 
 

@@ -28,17 +28,22 @@ def generate(features_dir: Path, output: Path, classes: list[str] | None = None)
     feats = np.load(features_dir / "features.npy")
     labels = np.load(features_dir / "labels.npy")
     all_names = json.loads((features_dir / "label_names.json").read_text())
-    names = list(classes) if classes else list(all_names)
+    requested = list(classes) if classes else list(all_names)
+    names: list[str] = []
     protos = []
-    for name in names:
+    for name in requested:
         if name not in all_names:
             raise SystemExit(f"class {name!r} not found; available: {all_names}")
         rows = feats[labels == all_names.index(name)]
         if len(rows) == 0:
+            # drop the name too, so PROTO_N_CLASSES / proto_N stay consistent
             print(f"skipping {name!r}: no samples in this FeatureSet")
             continue
         mean = rows.mean(axis=0)
+        names.append(name)
         protos.append(np.clip(np.round(mean * 255.0), 0, 255).astype(np.uint8))
+    if not protos:
+        raise SystemExit("no requested class has any samples — nothing to emit")
     lines = [
         "/* per-class mean mel prototypes (uint8, features scaled x255) */",
         "#ifndef PROTOTYPES_H",
