@@ -45,6 +45,63 @@ def _bench(fn, *args, iters: int = 20) -> float:
     return best
 
 
+def _flag_candidates(platform: str) -> list[dict]:
+    """Per-backend XLA compiler-option grid for the flag search — the
+    XLA-native analog of the reference's MetaSchedule tuning mode
+    (compile_tvm.py:1-50): instead of searching loop schedules, search the
+    compiler knobs that change the generated schedule."""
+    base: list[dict] = [{}]
+    if platform in ("tpu", "axon"):
+        base += [
+            {"xla_tpu_enable_latency_hiding_scheduler": "true"},
+            {"xla_tpu_enable_latency_hiding_scheduler": "false"},
+            {"xla_enable_async_all_gather": "true"},
+            {"xla_tpu_licm_size_inflation_ratio": "1"},
+        ]
+    elif platform == "cpu":
+        base += [
+            {"xla_cpu_enable_fast_math": "true"},
+            {"xla_cpu_enable_fast_math": "false"},
+            {"xla_cpu_enable_concurrency_optimized_scheduler": "true"},
+        ]
+    return base
+
+
+def flag_search(lowered, params, xb, batch: int) -> tuple[object, dict]:
+    """Compile the lowered computation under each candidate option set,
+    benchmark each, and return (fastest_compiled, search_record). Invalid
+    options on this backend are recorded, not fatal."""
+    import jax
+
+    platform = jax.devices()[0].platform
+    results = []
+    best = None
+    for opts in _flag_candidates(platform):
+        label = ",".join(f"{k}={v}" for k, v in opts.items()) or "(default)"
+        try:
+            t0 = time.perf_counter()
+            compiled = lowered.compile(compiler_options=opts or None)
+            compile_s = time.perf_counter() - t0
+            latency_ms = _bench(lambda: compiled(params, xb)) * 1000.0 / batch
+            results.append({"flags": opts, "latency_ms_per_sample": latency_ms,
+                            "compile_seconds": round(compile_s, 3)})
+            if best is None or latency_ms < best[1]:
+                best = (compiled, latency_ms, opts)
+        except Exception as exc:
+            results.append({"flags": opts, "error": str(exc).splitlines()[0][:160]})
+    if best is None:
+        raise RuntimeError("no XLA flag candidate compiled successfully")
+    record = {
+        "platform": platform,
+        "candidates": results,
+        "best_flags": best[2],
+        "best_latency_ms_per_sample": best[1],
+    }
+    logger.info("flag search: best %s -> %.4f ms/sample",
+                best[2] or "(default)", best[1])
+    return best[0], record
+
+
 def main(argv=None) -> None:
     setup_logging()
     p = argparse.ArgumentParser(
@@ -56,6 +113,9 @@ def main(argv=None) -> None:
     p.add_argument("--output", default=None)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--tflite", default=None, help="optional TFLite baseline to compare against")
+    p.add_argument("--tune-flags", action="store_true",
+                   help="search a small grid of XLA compiler options and keep the fastest "
+                        "(the MetaSchedule-tuning role of the reference's compile stage)")
     args = p.parse_args(argv)
 
     import jax
@@ -79,8 +139,12 @@ def main(argv=None) -> None:
     jitted = jax.jit(forward)
     # AOT: explicit lower + compile (reports compiler stats)
     lowered = jitted.lower(params, xb)
+    search_record = None
     t0 = time.perf_counter()
-    compiled = lowered.compile()
+    if args.tune_flags:
+        compiled, search_record = flag_search(lowered, params, xb, B)
+    else:
+        compiled = lowered.compile()
     compile_s = time.perf_counter() - t0
     mem = {}
     try:
@@ -115,6 +179,7 @@ def main(argv=None) -> None:
         "tflite_latency_ms_per_sample": baseline_ms,
         "speedup_vs_tflite": (baseline_ms / xla_per_sample_ms) if baseline_ms else None,
         "memory_analysis": mem,
+        "flag_search": search_record,
         "timestamp": datetime.now().isoformat(timespec="seconds"),
     }
     out = Path(args.output or Path(args.model).parent / "xla_report.json")

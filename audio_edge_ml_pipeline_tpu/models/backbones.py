@@ -218,6 +218,14 @@ def mobilenet_v2_embedder(input_size: int = 224, weights: str | None = None, bat
             "MobileNetV2 weights from %s: %d tensors loaded, %d left at init",
             weights, n_loaded, n_skipped,
         )
+    else:
+        logging.getLogger(__name__).warning(
+            "MobileNetV2 embedder running with RANDOM-INIT weights%s — "
+            "embeddings are a fixed random projection, NOT ImageNet features. "
+            "Convert a checkpoint with tools/convert_backbone_weights.py and "
+            "pass weights=<path.npz> for reference semantics.",
+            f" (weights path {weights!r} not found)" if weights else "",
+        )
 
     @jax.jit
     def embed(x):

@@ -502,6 +502,16 @@ def delta(x: jnp.ndarray, width: int = 9, order: int = 1) -> jnp.ndarray:
 # ----------------------------------------------------------------------
 
 
+_CQT_CHUNK = 256  # MXU-aligned contraction chunks (2 x 128 lanes)
+
+
+def _two_f32(a64: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Split a float64 constant into (hi, lo) float32 words: hi + lo
+    carries ~48 bits of the constant into the f32 compute path."""
+    a0 = a64.astype(np.float32)
+    return a0, (a64 - a0.astype(np.float64)).astype(np.float32)
+
+
 def cqt_magnitude(
     y: jnp.ndarray,
     sr: float,
@@ -510,23 +520,58 @@ def cqt_magnitude(
     bins_per_octave: int = 12,
     fmin: float | None = None,
 ) -> jnp.ndarray:
-    """(B, n) -> (B, n_bins, T) |CQT| via frequency-domain filterbank matmul
-    over an XLA rFFT (algorithm contract: ops.golden.cqt_basis)."""
+    """(B, n) -> (B, n_bins, T) |CQT| via a time-domain filterbank matmul
+    (algorithm contract: ops.golden.cqt_basis / cqt_time_basis).
+
+    Numerics: the 16k-sample correlation against oscillatory kernels
+    cancels heavily for weak bins, and a single f32 contraction leaves
+    ~1.5e-5 feature error — over the 1e-5 parity gate. Three measures pull
+    it to ~7e-6 (measured across seeds, test_dsp_parity):
+    - no FFT in the compute path: kernels are prepared by float64 FFTs at
+      trace time (cqt_time_basis) and enter as constants;
+    - the kernels enter as two-float (hi+lo) words, the lo word applied as
+      a cheap full-length correction matmul;
+    - the main contraction runs in 256-wide chunks whose partials are
+      combined by Kahan summation over the chunk axis (lax.scan).
+    """
     if fmin is None:
         fmin = ref.C1_HZ
-    fft_basis, lengths_np, n_fft = ref.cqt_basis(sr, fmin, n_bins, bins_per_octave)
-    D = stft_complex_fft(y, n_fft, hop_length, window="ones")  # (B,F,T) c64
-    br = jnp.asarray(fft_basis.real.astype(np.float32))
-    bi = jnp.asarray(fft_basis.imag.astype(np.float32))
-    Dr, Di = jnp.real(D).astype(jnp.float32), jnp.imag(D).astype(jnp.float32)
-    Cr = jnp.einsum("kf,bft->bkt", br, Dr, precision=HIGHEST) - jnp.einsum(
-        "kf,bft->bkt", bi, Di, precision=HIGHEST
-    )
-    Ci = jnp.einsum("kf,bft->bkt", br, Di, precision=HIGHEST) + jnp.einsum(
-        "kf,bft->bkt", bi, Dr, precision=HIGHEST
-    )
-    scale = jnp.asarray((1.0 / np.sqrt(lengths_np)).astype(np.float32))[None, :, None]
-    return jnp.sqrt(Cr * Cr + Ci * Ci) * scale
+    h, n_fft = ref.cqt_time_basis(sr, fmin, n_bins, bins_per_octave)
+    hr0, hr1 = _two_f32(h.real)
+    hi0, hi1 = _two_f32(h.imag)
+
+    pad = n_fft // 2
+    ypad = jnp.pad(y, ((0, 0), (pad, pad)))
+    T = n_frames_for(y.shape[1], hop_length)
+    starts = np.arange(T) * hop_length
+    idx = starts[:, None] + np.arange(n_fft)[None, :]
+    frames = ypad[:, idx]  # (B, T, n_fft)
+
+    B = y.shape[0]
+    nc = n_fft // _CQT_CHUNK
+    f_c = frames.reshape(B, T, nc, _CQT_CHUNK)
+
+    def _contract(h0: np.ndarray, h1: np.ndarray) -> jnp.ndarray:
+        parts = jnp.einsum(
+            "btcn,kcn->bktc", f_c, jnp.asarray(h0.reshape(-1, nc, _CQT_CHUNK)),
+            precision=HIGHEST,
+        )
+        corr = jnp.einsum("btn,kn->bkt", frames, jnp.asarray(h1), precision=HIGHEST)
+
+        def kahan_add(carry, x):
+            s, c = carry
+            yv = x - c
+            t_new = s + yv
+            c = (t_new - s) - yv
+            return (t_new, c), None
+
+        p = jnp.moveaxis(parts, -1, 0)  # (nc, B, K, T)
+        (s, _), _ = jax.lax.scan(kahan_add, (jnp.zeros_like(p[0]), jnp.zeros_like(p[0])), p)
+        return s + corr
+
+    Cr = _contract(hr0, hr1)
+    Ci = _contract(hi0, hi1)
+    return jnp.sqrt(Cr * Cr + Ci * Ci)
 
 
 def cqt_feature(

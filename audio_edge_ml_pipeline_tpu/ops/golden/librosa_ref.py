@@ -525,6 +525,29 @@ def cqt_basis(
     return fft_basis, lengths.astype(np.float64), n_fft
 
 
+def cqt_time_basis(
+    sr: float,
+    fmin: float,
+    n_bins: int,
+    bins_per_octave: int,
+    filter_scale: float = 1.0,
+) -> tuple[np.ndarray, int]:
+    """Exact time-domain equivalent of the half-spectrum product
+    ``fft_basis @ rfft(frame)``: with G the fft_basis zero-extended to the
+    full spectrum, sum_f G[f] X[f] = sum_n h[n] x[n] where h = FFT(G).
+    Folding the 1/sqrt(len) output scale into h, the whole CQT becomes one
+    real-matmul pair in the compute path — no finite-precision FFT at all
+    (the FFTs here run in float64 at basis-construction time).
+
+    Returns (h (n_bins, n_fft) complex128, n_fft).
+    """
+    fft_basis, lengths, n_fft = cqt_basis(sr, fmin, n_bins, bins_per_octave, filter_scale)
+    G = np.zeros((n_bins, n_fft), dtype=np.complex128)
+    G[:, : n_fft // 2 + 1] = fft_basis
+    h = np.fft.fft(G, axis=-1) / np.sqrt(lengths)[:, None]
+    return h, n_fft
+
+
 def cqt(
     y: np.ndarray,
     sr: float,

@@ -162,3 +162,29 @@ def test_compile_xla_cli(mlp_setup, tmp_path):
     assert report["xla_latency_ms_per_sample"] > 0
     assert report["compile_seconds"] > 0
     assert report["backend"] == "cpu"
+
+
+def test_compile_xla_flag_search(mlp_setup, tmp_path):
+    """--tune-flags: the XLA-option grid is searched, every candidate is
+    recorded, and the report carries the winning flag set (the reference's
+    MetaSchedule-tuning role, compile_tvm.py:1-50)."""
+    root = mlp_setup
+    out = tmp_path / "xla_report.json"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "audio_edge_ml_pipeline_tpu.compilation.compile_xla",
+            "--model", str(root / "run" / "model.flax.npz"),
+            "--features", str(root / "val"), "--output", str(out), "--batch", "16",
+            "--tune-flags",
+        ],
+        capture_output=True, text=True, env=_cpu_env(), cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    report = json.loads(out.read_text())
+    search = report["flag_search"]
+    assert search["platform"] == "cpu"
+    assert len(search["candidates"]) >= 3
+    assert any("latency_ms_per_sample" in c for c in search["candidates"])
+    assert search["best_latency_ms_per_sample"] > 0
+    # the headline latency is the tuned winner's
+    assert report["xla_latency_ms_per_sample"] > 0

@@ -141,10 +141,9 @@ def test_cqt_feature_parity(batch22k):
     out = np.asarray(dsp.cqt_feature(jnp.asarray(y), sr=sr))
     ref = _golden_stack(lambda c: g.cqt_feature(c, sr=sr), y)
     err = np.max(np.abs(out - ref))
-    # [0,1]-normalized dB over ~9 octaves of per-octave f32 filterbank
-    # accumulation: measured 1.5e-5; the <=1e-5 BASELINE gate applies to
-    # the mel extraction path (bench.py enforces it on-chip every run)
-    assert err <= 2e-5, f"cqt parity {err:.3e}"
+    # time-domain two-float kernels + chunked Kahan contraction: measured
+    # ~7e-6 across seeds — meets the repo-wide <=1e-5 parity gate
+    assert err <= 1e-5, f"cqt parity {err:.3e}"
 
 
 def test_waveform_feature_parity(batch16k):
