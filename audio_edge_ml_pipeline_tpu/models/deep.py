@@ -59,16 +59,30 @@ _KD_ALPHA = 0.7
 # ---------------------------------------------------------------------------
 
 
+def _dropout(mod: nn.Module, x, rate, train: bool):
+    """Inverted dropout accepting a (possibly traced) rate. nn.Dropout's
+    rate is static module config, which would force one compiled program
+    per sampled dropout value; taking the rate as a runtime scalar lets
+    the batched trial trainer (train/tune_batched.py) vmap over it."""
+    if not train:
+        return x
+    rng = mod.make_rng("dropout")
+    keep = 1.0 - jnp.asarray(rate, jnp.float32)
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / jnp.maximum(keep, 1e-6), jnp.zeros_like(x))
+
+
 class MLPModule(nn.Module):
     hidden_units: tuple[int, ...]
     dropout: float
     n_classes: int
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, dropout_rate=None):
+        rate = self.dropout if dropout_rate is None else dropout_rate
         for units in self.hidden_units:
             x = nn.relu(nn.Dense(units)(x))
-            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+            x = _dropout(self, x, rate, train)
         return nn.Dense(self.n_classes)(x)  # logits
 
 
@@ -80,7 +94,8 @@ class CNNModule(nn.Module):
     second_stride: int = 1
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, dropout_rate=None):
+        rate = self.dropout if dropout_rate is None else dropout_rate
         for i, f in enumerate(self.filters):
             if i == 0:
                 stride = self.first_stride
@@ -92,10 +107,10 @@ class CNNModule(nn.Module):
             use_stride = (i == 0 and self.first_stride > 1) or (i == 1 and self.second_stride > 1)
             if not use_stride:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
-            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+            x = _dropout(self, x, rate, train)
         x = jnp.mean(x, axis=(1, 2))  # GAP2D
         x = nn.relu(nn.Dense(128)(x))
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = _dropout(self, x, rate, train)
         return nn.Dense(self.n_classes)(x)
 
 
@@ -119,7 +134,8 @@ class DSCNNModule(nn.Module):
         return x
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, dropout_rate=None):
+        rate = self.dropout if dropout_rate is None else dropout_rate
         s = self.first_stride
         x = nn.Conv(self.filters[0], (3, 3), strides=(s, s), padding="SAME", use_bias=not self.batch_norm)(x)
         x = nn.relu(self._maybe_bn(x, train))
@@ -133,9 +149,9 @@ class DSCNNModule(nn.Module):
             x = nn.relu(self._maybe_bn(x, train))
             x = nn.Conv(f, (1, 1), padding="VALID", use_bias=not self.batch_norm)(x)
             x = nn.relu(self._maybe_bn(x, train))
-            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+            x = _dropout(self, x, rate, train)
         x = jnp.mean(x, axis=(1, 2))  # GAP2D
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = _dropout(self, x, rate, train)
         return nn.Dense(self.n_classes)(x)
 
 
@@ -988,6 +1004,13 @@ class EfficientNetTeacherTrainer(FlaxTrainer):
         total = self.epochs
         base_lr = self.learning_rate
         base_ckpt = self._extra.get("checkpoint_dir")
+        if not self._extra.get("pretrained_model"):
+            logger.warning(
+                "efficientnet_teacher: backbone starts RANDOM-INIT — ImageNet "
+                "weights are unavailable offline, while the reference warm-starts "
+                "from ImageNet (models/backbones.py). Pass --param "
+                "pretrained_model=<bundle.npz> to warm-start."
+            )
         self.epochs = min(self.warmup_epochs, total)
         self._head_only = True
         self._log_epoch_offset = 0

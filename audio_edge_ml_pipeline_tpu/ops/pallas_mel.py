@@ -140,7 +140,7 @@ def _mel_folded_kernel(p_ref, m_ref, c_ref, A_ref, B_ref, wr_ref, fb_ref, out_re
     )
 
 
-@partial(jax.jit, static_argnames=("sr", "n_mels", "n_fft", "hop_length", "interpret"))
+@partial(jax.jit, static_argnames=("sr", "n_mels", "n_fft", "hop_length", "interpret", "tile_t"))
 def mel_power_pallas_folded(
     y: jnp.ndarray,
     sr: int = 16000,
@@ -148,14 +148,22 @@ def mel_power_pallas_folded(
     n_fft: int = 512,
     hop_length: int = 160,
     interpret: bool = False,
+    tile_t: int = TILE_T,
 ) -> jnp.ndarray:
-    """(B, n) -> (B, n_mels, T) mel power via the folded-GEMM Pallas core."""
+    """(B, n) -> (B, n_mels, T) mel power via the folded-GEMM Pallas core.
+
+    tile_t: grid-cell row count. 128 was the v2 schedule; the v3 sweep
+    (CLAUDE.md: ">=512-row tiles") raises it so Mosaic's per-tile overhead
+    amortizes over more MXU work — VMEM per cell at 512 rows is ~4 MB
+    (p/m/power tiles), well inside the 16 MB budget. The output block is
+    lane-padded to 128 so every store is full-lane."""
     B, n = y.shape
     half = n_fft // 2
     n_freq = 1 + half
     T = 1 + n // hop_length
-    T_pad = _round_up(T, TILE_T)
+    T_pad = _round_up(T, tile_t)
     f_pad = _round_up(n_freq, 128)
+    m_pad = _round_up(n_mels, 128)
 
     pad = n_fft // 2
     ypad = jnp.pad(y, ((0, 0), (pad, pad)))
@@ -177,25 +185,25 @@ def mel_power_pallas_folded(
     B_pad = np.zeros((half, f_pad), np.float32); B_pad[:, :n_freq] = B_T
     wr_pad = np.zeros((1, f_pad), np.float32); wr_pad[0, :n_freq] = wr_half
     fb = ref.mel_filterbank(sr, n_fft, n_mels).astype(np.float32)  # (M, F)
-    fb_pad = np.zeros((f_pad, n_mels), np.float32); fb_pad[:n_freq, :] = fb.T
+    fb_pad = np.zeros((f_pad, m_pad), np.float32); fb_pad[:n_freq, :n_mels] = fb.T
 
     out = pl.pallas_call(
         _mel_folded_kernel,
-        grid=(B * T_pad // TILE_T,),
+        grid=(B * T_pad // tile_t,),
         in_specs=[
-            pl.BlockSpec((TILE_T, half), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_T, half), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_T, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_t, half), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_t, half), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_t, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((half, f_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((half, f_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, f_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((f_pad, n_mels), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_pad, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_T, n_mels), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * T_pad, n_mels), jnp.float32),
+        out_specs=pl.BlockSpec((tile_t, m_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * T_pad, m_pad), jnp.float32),
         interpret=interpret,
     )(p, m, center, jnp.asarray(A_pad), jnp.asarray(B_pad), jnp.asarray(wr_pad), jnp.asarray(fb_pad))
-    mel = out.reshape(B, T_pad, n_mels)[:, :T, :]
+    mel = out.reshape(B, T_pad, m_pad)[:, :T, :n_mels]
     return jnp.transpose(mel, (0, 2, 1))
 
 

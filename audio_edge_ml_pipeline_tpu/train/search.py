@@ -288,6 +288,21 @@ class Study:
     def best_value(self) -> float:
         return self.best_trial.value
 
+    def ask(self) -> Trial:
+        """Batch-mode API (tune_parallel): open a trial whose parameters are
+        drawn from the CURRENT posterior. Running trials are invisible to
+        the sampler (_observations filters on COMPLETE), so asking k trials
+        before telling any yields k independent draws — standard batch TPE."""
+        record = FrozenTrial(number=len(self.trials))
+        self.trials.append(record)
+        return Trial(self, record)
+
+    def tell(self, trial: Trial, value: Optional[float] = None,
+             state: str = TrialState.COMPLETE) -> None:
+        record = trial._record
+        record.value = float(value) if value is not None else None
+        record.state = state
+
     def optimize(self, objective: Callable[[Trial], float], n_trials: int, catch: tuple = ()) -> None:
         for _ in range(n_trials):
             record = FrozenTrial(number=len(self.trials))

@@ -396,11 +396,37 @@ def _tune_deep(run_cfg: dict, default_cfg: dict) -> Optional[dict]:
         )
         return score
 
-    logger.info(
-        "[%s] TPE study: %d trial(s)  pruner=%s  epochs/trial=%d",
-        run_label, n_trials, pruner_name, sweep_epochs,
-    )
-    study.optimize(objective, n_trials=n_trials, catch=(Exception,))
+    tune_parallel = int(_cfg(run_cfg, default_cfg, "tune_parallel", 1) or 1)
+    from . import tune_batched
+
+    if tune_parallel > 1 and model_name in tune_batched.BATCHABLE_MODELS:
+        # device-batched ask-tell rounds (SURVEY §2c: concurrent TPE
+        # trials); the winner is refit through the sequential path below so
+        # its artifacts match exactly
+        logger.info(
+            "[%s] TPE study: %d trial(s) in device-batched rounds of %d  pruner=%s  epochs/trial=%d",
+            run_label, n_trials, tune_parallel, pruner_name, sweep_epochs,
+        )
+        tune_batched.run_study_batched(
+            study, search_space, run_cfg.get("params") or {}, sample_search_space,
+            model_name, X_train, y_train, X_val, y_val, len(label_names),
+            n_trials, sweep_epochs, batch_k=tune_parallel, seed=seed,
+            devices=tune_parallel,
+        )
+        if any(t.state == search.TrialState.COMPLETE for t in study.trials):
+            best = study.best_trial
+            refit_trial = search.Trial(study, best)  # params preset -> same draw
+            saved_pruner, study.pruner = study.pruner, search.NopPruner()
+            try:
+                best.value = float(objective(refit_trial))
+            finally:
+                study.pruner = saved_pruner
+    else:
+        logger.info(
+            "[%s] TPE study: %d trial(s)  pruner=%s  epochs/trial=%d",
+            run_label, n_trials, pruner_name, sweep_epochs,
+        )
+        study.optimize(objective, n_trials=n_trials, catch=(Exception,))
 
     completed = [t for t in study.trials if t.state == search.TrialState.COMPLETE]
     n_pruned = sum(1 for t in study.trials if t.state == search.TrialState.PRUNED)

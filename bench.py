@@ -70,10 +70,15 @@ def main() -> None:
     # folded-GEMM STFT lifted 4096 to 54.4k; gathering the folded halves
     # directly (no frames-tensor HBM round trip) to 78.5k, and the freed
     # HBM allows B=8192 (~80k). Falls back to 4096 if the chip OOMs.
+    # upload only the 8 base clips (~2.5 MB) and tile ON DEVICE — shipping
+    # the tiled (B, 80000) batch through the tunnel is 2.6 GB and can stall
+    # for many minutes under congestion (CLAUDE.md tunnel pathologies)
+    base_dev = jax.device_put(jnp.asarray(base))
+    tile_dev = jax.jit(lambda b, reps: jnp.tile(b, (reps, 1)), static_argnames="reps")
     B = 8192
     try:
-        waves = jax.device_put(jnp.asarray(np.tile(base, (B // len(base), 1))))
-        pipeline(params, waves[:B]).block_until_ready()
+        waves = tile_dev(base_dev, reps=B // len(base))
+        pipeline(params, waves).block_until_ready()
     except Exception as exc:
         # only an OOM justifies the smaller-batch fallback; anything else
         # (compile error, bad params) must not hide behind a 4096 score
@@ -83,7 +88,7 @@ def main() -> None:
         import sys
         print(f"B=8192 OOM, falling back to 4096: {msg.splitlines()[0][:160]}", file=sys.stderr)
         B = 4096
-        waves = jax.device_put(jnp.asarray(np.tile(base, (B // len(base), 1))))
+        waves = tile_dev(base_dev, reps=B // len(base))
 
     def _barrier(out):
         # block_until_ready has been observed returning before the device
@@ -156,8 +161,10 @@ def main() -> None:
         )["params"]
         optimizer = optax.adam(1e-3)
         opt_state = optimizer.init(tparams)
-        Xtr = jnp.asarray(rng.standard_normal((Bt * steps, *mel_shape)).astype(np.float32))
-        ytr = jnp.asarray(rng.integers(0, 27, size=Bt * steps).astype(np.int32))
+        # synthesize the training batch ON DEVICE (~330 MB — no tunnel upload)
+        kx, ky = jax.random.split(jax.random.PRNGKey(3))
+        Xtr = jax.jit(lambda k: jax.random.normal(k, (Bt * steps, *mel_shape), jnp.float32))(kx)
+        ytr = jax.jit(lambda k: jax.random.randint(k, (Bt * steps,), 0, 27, jnp.int32))(ky)
         idx_mat = jnp.arange(Bt * steps, dtype=jnp.int32).reshape(steps, Bt)
 
         def loss_fn(p, x, y, rng_key):

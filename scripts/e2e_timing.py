@@ -14,7 +14,7 @@ only explore shape-free knobs (lr, dropout) and hit the cache; run
 `--cold` to clear the cache first and measure the worst case.
 
 Usage: python scripts/e2e_timing.py [--workdir /tmp/aep_e2e] [--cold]
-       [--classes 12] [--per-class 75] [--trials 4]
+       [--classes 27] [--per-class 75] [--trials 4]
 """
 
 from __future__ import annotations
@@ -49,7 +49,7 @@ def main() -> None:
     p.add_argument("--workdir", default="/tmp/aep_e2e")
     p.add_argument("--cold", action="store_true", help="clear the persistent XLA cache first")
     p.add_argument("--cache-dir", default=None, help="persistent XLA cache location override")
-    p.add_argument("--classes", type=int, default=12)
+    p.add_argument("--classes", type=int, default=27)  # the BASELINE.md target workload (fsc22: 27 x 75)
     p.add_argument("--per-class", type=int, default=75)
     p.add_argument("--trials", type=int, default=4)
     args = p.parse_args()

@@ -203,7 +203,46 @@ runs:
     summary = json.loads((out / "mlp" / "trial_summary.json").read_text())
     assert summary["n_trials"] == 3 and summary["n_completed"] >= 1
     assert "hidden_units" in summary["best_params"]
-    assert (out / "lda" / "lda.joblib").exists()
+    assert (out / "lda" / "lda.npz").exists()  # lda tunes JAX-native now
     # best trial test metrics surfaced
     best = [c for c in sl["candidates"] if c["model"] == "lda"][0]
     assert best["val_accuracy"] > 0.6
+
+
+def test_tune_cli_deep_batched_parallel(feature_dirs, tmp_path):
+    """tune_parallel=2: deep trials run through the device-batched ask-tell
+    path (train/tune_batched.py) and the winner is refit with full
+    artifacts — same shortlist/trial_summary contract as sequential."""
+    out = tmp_path / "tuned"
+    cfg = tmp_path / "tuning.yaml"
+    cfg.write_text(
+        f"""
+output_dir: {out}
+experiment: tune-batched-test
+features_dir: {feature_dirs / 'train'}
+features_test: {feature_dirs / 'val'}
+n_trials: 4
+sweep_epochs: 4
+pruner: none
+tune_parallel: 2
+runs:
+  - model: mlp
+    params: {{batch_size: 16}}
+    search_space:
+      hidden_units: [[8], [16]]
+      learning_rate: {{type: loguniform, low: 0.001, high: 0.02}}
+      dropout: {{type: float, low: 0.0, high: 0.3}}
+"""
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "audio_edge_ml_pipeline_tpu.train.tune", "--config", str(cfg)],
+        capture_output=True, text=True, cwd=tmp_path, env=_cpu_env(),
+    )
+    assert r.returncode == 0, r.stderr
+    summary = json.loads((out / "mlp" / "trial_summary.json").read_text())
+    assert summary["n_trials"] == 4 and summary["n_completed"] >= 1
+    # the refit winner has real artifacts in its trial dir
+    best = summary["best_trial"]
+    assert (out / "mlp" / f"trial_{best:02d}" / "model.flax.npz").exists()
+    sl = json.loads((out / "shortlist.json").read_text())
+    assert sl["n_candidates"] == 1
