@@ -157,7 +157,10 @@ def train_trial_group(
     X = (X - mean) / std
     Xv = (Xv - mean) / std
 
-    arch = proto._arch(X.shape[1:], n_classes)
+    # the module's static dropout attr is irrelevant (every apply passes a
+    # runtime dropout_rate) — pin it so the cache key / compiled program is
+    # shared across draws that differ only in sampled dropout
+    arch = {**proto._arch(X.shape[1:], n_classes), "dropout": 0.0}
     module, vm_epoch, vm_fwd, tx = _get_runner(json.dumps(arch, sort_keys=True))
     lrs = jnp.asarray([float(d.get("learning_rate", proto.learning_rate)) for d in draws],
                       jnp.float32)
