@@ -218,9 +218,12 @@ def mel_spec_feature_pallas(
 ) -> jnp.ndarray:
     """audio_mel_spec contract with the fused Pallas mel core.
 
-    Routes through the folded kernel (42.3k clips/s on v5e B=4096 vs 41k
-    for the v1 frames-matmul kernel — both lose to the XLA folded-gather
-    path at 81k; this stays as bench.py's honest A/B competitor)."""
+    EVALUATED AND REJECTED as the production path (5 schedules measured;
+    scripts/pallas_sweep.py): tile_t 128/256/512 all land at 43-45k
+    clips/s vs 86k for the XLA folded-gather path at the same batch. The
+    loss is structural — pallas_call materializes the p/m gather operands
+    in HBM (~2 MB/clip extra traffic) while XLA fuses those gathers into
+    the GEMM operand reads. Kept as bench.py's honest A/B competitor."""
     mel = mel_power_pallas_folded(y, sr=sr, n_mels=n_mels, n_fft=n_fft, hop_length=hop_length, interpret=interpret)
     mask = dsp.frame_mask(mel.shape[-1], lengths, hop_length, y.shape[0])
     log_mel = dsp.power_to_db(mel, ref_mode="max", mask=mask)
