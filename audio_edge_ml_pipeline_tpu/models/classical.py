@@ -263,8 +263,8 @@ class KMeansTrainer(BaseTrainer):
 
         Xd = jnp.asarray(X)
 
-        @jax.jit
         def run(init_centers):
+            # one restart: max_iter Lloyd steps + final inertia
             def step(carry, _):
                 centers = carry
                 d = (
@@ -288,15 +288,15 @@ class KMeansTrainer(BaseTrainer):
             inertia = jnp.sum(jnp.min(d, axis=1))
             return centers, inertia
 
+        # all n_init restarts as ONE vmapped dispatch (was a sequential
+        # Python loop — n_init round trips on a remote backend)
+        run_all = jax.jit(jax.vmap(run))
         rng = np.random.default_rng(self.seed)
-        best = None
-        for _ in range(self.n_init):
-            init = X[rng.choice(len(X), size=k, replace=False)]
-            centers, inertia = run(jnp.asarray(init))
-            inertia = float(inertia)
-            if best is None or inertia < best[1]:
-                best = (np.asarray(centers), inertia)
-        return best
+        inits = np.stack([X[rng.choice(len(X), size=k, replace=False)]
+                          for _ in range(self.n_init)])
+        centers_all, inertia_all = run_all(jnp.asarray(inits))
+        best_i = int(np.argmin(np.asarray(inertia_all)))
+        return np.asarray(centers_all[best_i]), float(inertia_all[best_i])
 
     def fit(self, X_train, y_train, X_val, y_val, label_names, run_name, output_dir, mlflow_run) -> TrainResult:
         X = self.flatten(np.asarray(X_train)).astype(np.float32)

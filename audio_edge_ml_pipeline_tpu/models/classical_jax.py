@@ -148,7 +148,9 @@ def kernels() -> SimpleNamespace:
         eta = (1.0 / jnp.maximum(L, 1e-12))[:, None]
 
         def grad(a):
-            return jnp.einsum("pmn,pn->pm", Q, a) - jnp.where(u > 0, 1.0, 0.0)
+            # HIGHEST: DEFAULT bf16 products perturb the gradient ~1e-2
+            # relative on TPU — enough to move alpha off the sklearn optimum
+            return jnp.einsum("pmn,pn->pm", Q, a, precision=HI) - jnp.where(u > 0, 1.0, 0.0)
 
         def step(carry, _):
             a, z, th = carry
@@ -166,7 +168,7 @@ def kernels() -> SimpleNamespace:
         (alpha, _, _), _ = lax.scan(step, (a0, a0, jnp.ones(u.shape[0])), None, length=iters)
 
         # intercept: mean over free SVs, else midpoint of the KKT interval
-        f = jnp.einsum("pmn,pn->pm", Kp, alpha * ypm)  # decision w/o b
+        f = jnp.einsum("pmn,pn->pm", Kp, alpha * ypm, precision=HI)  # decision w/o b
         tol = 1e-6 * jnp.maximum(jnp.max(u, -1, keepdims=True), 1e-12)
         valid = u > 0
         free = valid & (alpha > tol) & (alpha < u - tol)
@@ -183,15 +185,17 @@ def kernels() -> SimpleNamespace:
 
     @partial(jax.jit, static_argnames=("kernel", "iters"))
     def svm_fit(X, idx, ypm, u, gamma, kernel, iters=500):
-        """Solve every OvO dual QP at once. Returns (alpha[P,M], b[P]).
+        """Solve every OvO dual QP at once. Returns (alpha[P,M], b[P],
+        f[P,M]) — f + b are the per-pair training decision values (Platt
+        fitting consumes them directly; recomputing them would cost another
+        N x N kernel matrix dispatch).
 
         X (N,D) f32; idx (P,M) int32 sample indices (0-padded); ypm (P,M)
         in {+1,-1,0}; u (P,M) box upper bounds (0 on padding); gamma scalar.
         """
         Kfull = _kernel_matrix(X, X, gamma, kernel)
         Kp = Kfull[idx[:, :, None], idx[:, None, :]]  # (P, M, M)
-        alpha, b, _ = _solve_qps(Kp, ypm, u, iters)
-        return alpha, b
+        return _solve_qps(Kp, ypm, u, iters)
 
     # -- batched cross-validation programs (tuning stage) ------------------
 
@@ -314,17 +318,6 @@ def kernels() -> SimpleNamespace:
         Kq = _kernel_matrix(Xq, Xsv, gamma, kernel)
         return jnp.matmul(Kq, Asv.T, precision=HI) + b[None, :]
 
-    @jax.jit
-    def train_decisions(X, idx, ypm, alpha, b, Kfull):
-        """Per-pair decision values at each pair's own training points
-        (P, M), for Platt fitting."""
-        Kp = Kfull[idx[:, :, None], idx[:, None, :]]
-        return jnp.einsum("pmn,pn->pm", Kp, alpha * ypm) + b[:, None]
-
-    @partial(jax.jit, static_argnames=("kernel",))
-    def kernel_full(X, gamma, kernel):
-        return _kernel_matrix(X, X, gamma, kernel)
-
     _K_ns = SimpleNamespace(
         jnp=jnp,
         fit_scaler_pca=fit_scaler_pca,
@@ -333,8 +326,6 @@ def kernels() -> SimpleNamespace:
         linear_decision=linear_decision,
         svm_fit=svm_fit,
         svm_decision=svm_decision,
-        train_decisions=train_decisions,
-        kernel_full=kernel_full,
         svm_cv=svm_cv,
         pca_cv=pca_cv,
         lda_cv=lda_cv,
@@ -525,14 +516,12 @@ def fit_svm_np(
         ypm > 0, C * w[pairs[:, 0]][:, None], np.where(ypm < 0, C * w[pairs[:, 1]][:, None], 0.0)
     ).astype(np.float32)
 
-    alpha, b = k.svm_fit(X, idx, ypm, u, np.float32(gamma_v), kernel=kernel, iters=iters)
+    alpha, b, f = k.svm_fit(X, idx, ypm, u, np.float32(gamma_v), kernel=kernel, iters=iters)
     alpha, b = np.asarray(alpha), np.asarray(b)
 
     # Platt sigmoids on the training decision values (divergence from
     # libsvm's internal 5-fold CV, mitigated by Platt's regularized targets)
-    Kfull = k.kernel_full(X, np.float32(gamma_v), kernel=kernel)
-    f = np.asarray(k.train_decisions(X, idx, ypm, alpha, b, Kfull))
-    pA, pB = _platt_fit(f, ypm)
+    pA, pB = _platt_fit(np.asarray(f) + b[:, None], ypm)
 
     # dense dual-coefficient matrix over the union of support vectors
     A_full = np.zeros((len(pairs), N), np.float32)

@@ -548,12 +548,15 @@ def cqt_magnitude(
     frames = ypad[:, idx]  # (B, T, n_fft)
 
     B = y.shape[0]
-    nc = n_fft // _CQT_CHUNK
-    f_c = frames.reshape(B, T, nc, _CQT_CHUNK)
+    # high fmin / low sr configs yield n_fft below the chunk width (n_fft is
+    # a power of two, so it divides the chunk evenly in that case)
+    chunk = min(_CQT_CHUNK, n_fft)
+    nc = n_fft // chunk
+    f_c = frames.reshape(B, T, nc, chunk)
 
     def _contract(h0: np.ndarray, h1: np.ndarray) -> jnp.ndarray:
         parts = jnp.einsum(
-            "btcn,kcn->bktc", f_c, jnp.asarray(h0.reshape(-1, nc, _CQT_CHUNK)),
+            "btcn,kcn->bktc", f_c, jnp.asarray(h0.reshape(-1, nc, chunk)),
             precision=HIGHEST,
         )
         corr = jnp.einsum("btn,kn->bkt", frames, jnp.asarray(h1), precision=HIGHEST)

@@ -135,6 +135,7 @@ class _CVEngine:
         self.n_classes = n_classes
         self.W = np.stack([(fold_of != f) for f in range(self.cv)]).astype(np.float32)
         self.onehot = np.eye(n_classes, dtype=np.float32)[self.y]
+        self._pca_cache: dict[int, np.ndarray] = {}  # ncomp -> per-fold Z
         self.mesh = None
         if devices > 1:
             import jax
@@ -219,8 +220,12 @@ class _CVEngine:
         if model_name.startswith("pca_"):
             ncomp = int(cell.get("n_components", 50))
             ncomp = min(ncomp, self.X.shape[1], int(self.W.sum(1).min()))
-            (W,) = self._maybe_shard(self.W)
-            Z = np.asarray(self.k.pca_cv(ncomp)(self.X, W))[: self.cv]  # (F, N, k)
+            Z = self._pca_cache.get(ncomp)
+            if Z is None:
+                # cells sharing n_components reuse one fold-PCA dispatch
+                (W,) = self._maybe_shard(self.W)
+                Z = np.asarray(self.k.pca_cv(ncomp)(self.X, W))[: self.cv]  # (F, N, k)
+                self._pca_cache[ncomp] = Z
         tail = model_name.split("_")[-1]
         if tail == "svm" or model_name == "svm":
             return self.eval_svm(cell, scoring, Z)

@@ -407,18 +407,40 @@ def _tune_deep(run_cfg: dict, default_cfg: dict) -> Optional[dict]:
             "[%s] TPE study: %d trial(s) in device-batched rounds of %d  pruner=%s  epochs/trial=%d",
             run_label, n_trials, tune_parallel, pruner_name, sweep_epochs,
         )
-        tune_batched.run_study_batched(
+        batched_results = tune_batched.run_study_batched(
             study, search_space, run_cfg.get("params") or {}, sample_search_space,
             model_name, X_train, y_train, X_val, y_val, len(label_names),
             n_trials, sweep_epochs, batch_k=tune_parallel, seed=seed,
             devices=tune_parallel,
         )
+        # record EVERY completed trial's sweep metrics in the summary (the
+        # sequential path records all trials); only the winner gets real
+        # artifacts via the refit below
+        for num, rec in batched_results.items():
+            trial_records[num] = {
+                "trial": num, "run_id": "", "run_name": f"{run_label}_t{num:02d}_batched",
+                "model": model_name,
+                "val_accuracy": rec["val_accuracy"], "val_f1_macro": rec["val_f1_macro"],
+                "cv_best_score": None, "model_size_kb": 0.0,
+                "best_params": {k: str(v) for k, v in rec["params"].items()},
+                "artifact_uri": "", "features_dir": str(features_dir),
+                "features_test": str(features_test_raw or ""),
+                "class_filter": class_filter or None,
+            }
         if any(t.state == search.TrialState.COMPLETE for t in study.trials):
+            # refit the winner through the sequential path for full
+            # artifacts; its sweep value stays the study value (overwriting
+            # it post-selection could flip best_trial to a record with no
+            # artifacts), and a transient refit failure must not lose the
+            # whole study (sequential path has catch=(Exception,))
             best = study.best_trial
             refit_trial = search.Trial(study, best)  # params preset -> same draw
             saved_pruner, study.pruner = study.pruner, search.NopPruner()
             try:
-                best.value = float(objective(refit_trial))
+                objective(refit_trial)  # fills trial_records[best.number]
+            except Exception as exc:
+                logger.warning("[%s] winner refit failed (%s); summary keeps sweep metrics",
+                               run_label, exc)
             finally:
                 study.pruner = saved_pruner
     else:

@@ -147,6 +147,15 @@ def train_trial_group(
 
     from ..models import get_model
 
+    k_real = len(draws)
+    n_dev = 1
+    if devices > 1:
+        n_dev = min(devices, len(jax.devices()), max(k_real, 1))
+        pad = (-k_real) % n_dev
+        if pad:
+            # pad the trial axis with copies of the last draw so the batch
+            # shards evenly; padded results are sliced off below
+            draws = list(draws) + [draws[-1]] * pad
     k = len(draws)
     proto = get_model(model_name)(epochs=sweep_epochs, **draws[0])
     X = proto._prepare_input(np.asarray(X_train)).astype(np.float32)
@@ -181,21 +190,19 @@ def train_trial_group(
     bs = min(proto.batch_size, n)
     steps = max(1, n // bs)
 
-    # optional trial-axis sharding over a 1-D device mesh
-    if devices > 1:
-        devs = jax.devices()
-        n_dev = min(devices, len(devs), k)
-        if n_dev > 1 and k % n_dev == 0:
-            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    # optional trial-axis sharding over a 1-D device mesh (k is always a
+    # multiple of n_dev — the trial axis was padded above)
+    if n_dev > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-            mesh = Mesh(np.array(devs[:n_dev]), ("trials",))
-            spec = NamedSharding(mesh, P("trials"))
-            params = jax.tree.map(lambda a: jax.device_put(a, spec), params)
-            cols = jax.tree.map(lambda a: jax.device_put(a, spec), cols)
-            opt_state = jax.tree.map(lambda a: jax.device_put(a, spec), opt_state)
-            lrs = jax.device_put(lrs, spec)
-            rates = jax.device_put(rates, spec)
-            logger.info("trial batch of %d sharded over %d devices", k, n_dev)
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("trials",))
+        spec = NamedSharding(mesh, P("trials"))
+        params = jax.tree.map(lambda a: jax.device_put(a, spec), params)
+        cols = jax.tree.map(lambda a: jax.device_put(a, spec), cols)
+        opt_state = jax.tree.map(lambda a: jax.device_put(a, spec), opt_state)
+        lrs = jax.device_put(lrs, spec)
+        rates = jax.device_put(rates, spec)
+        logger.info("trial batch of %d (%d real) sharded over %d devices", k, k_real, n_dev)
 
     Xd, yd, Xvd = jnp.asarray(X), jnp.asarray(y), jnp.asarray(Xv)
     rngs = jax.vmap(jax.random.PRNGKey)(jnp.arange(seed + 1, seed + 1 + k))
@@ -213,14 +220,14 @@ def train_trial_group(
         accs = (preds == yv[None, :]).mean(axis=1)
         history.append(accs)
         if epoch_cb is not None:
-            for i in range(k):
+            for i in range(k_real):  # padded duplicates are not trials
                 epoch_cb(i, epoch, float(accs[i]))
 
     logits = np.asarray(vm_fwd(params, cols, Xvd))
     preds = logits.argmax(-1)
     out = []
     hist = np.stack(history)  # (epochs, k)
-    for i in range(k):
+    for i in range(k_real):
         out.append({
             "val_accuracy": float((preds[i] == yv).mean()),
             "val_f1_macro": float(f1_score(yv, preds[i], average="macro", zero_division=0)),

@@ -241,6 +241,8 @@ runs:
     assert r.returncode == 0, r.stderr
     summary = json.loads((out / "mlp" / "trial_summary.json").read_text())
     assert summary["n_trials"] == 4 and summary["n_completed"] >= 1
+    # EVERY completed trial is recorded in the summary, not just the winner
+    assert len(summary["trials"]) == summary["n_completed"]
     # the refit winner has real artifacts in its trial dir
     best = summary["best_trial"]
     assert (out / "mlp" / f"trial_{best:02d}" / "model.flax.npz").exists()
