@@ -257,3 +257,30 @@ def test_export_svm_bundle_matches_sklearn(tmp_path):
     joblib.dump(pipe_rbf, tmp_path / "rbf.joblib")
     with pytest.raises(ValueError, match="linear"):
         export_bundle(tmp_path / "rbf.joblib", tmp_path / "bundle2", ["a", "b", "c"])
+
+
+def test_gen_prototypes_skips_empty_class_consistently(tmp_path):
+    """ADVICE r2: a requested class with no samples must drop from BOTH the
+    name list and the emitted arrays, keeping PROTO_N_CLASSES / proto_N /
+    PROTOTYPES consistent (previously the header referenced undefined
+    symbols)."""
+    import sys
+    sys.path.insert(0, str(REPO / "tools"))
+    import gen_prototypes
+
+    feats = tmp_path / "fs"
+    feats.mkdir()
+    np.save(feats / "features.npy", np.random.default_rng(0).random((6, 4)).astype(np.float32))
+    np.save(feats / "labels.npy", np.array([0, 0, 1, 1, 1, 0], np.int64))  # class 2 empty
+    (feats / "label_names.json").write_text(json.dumps(["a", "b", "c"]))
+
+    out = tmp_path / "prototypes.h"
+    gen_prototypes.generate(feats, out, classes=["a", "c", "b"])
+    text = out.read_text()
+    assert "#define PROTO_N_CLASSES 2" in text
+    assert "proto_0" in text and "proto_1" in text and "proto_2" not in text
+    assert "/* a */" in text and "/* b */" in text and "/* c */" not in text
+
+    # all requested classes empty -> explicit error, not an IndexError
+    with pytest.raises(SystemExit):
+        gen_prototypes.generate(feats, out, classes=["c"])
