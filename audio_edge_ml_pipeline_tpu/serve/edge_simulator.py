@@ -195,7 +195,7 @@ def main(argv=None) -> None:
     p.add_argument("--device-id", default="sim0")
     p.add_argument("--num-devices", type=int, default=1,
                    help="simulate a fleet: N devices round-robin on one host "
-                        "(ids <device-id>, <device-id>1, ...)")
+                        "(ids <device-id>, <device-id>-1, ...)")
     p.add_argument("--n", type=int, default=20)
     p.add_argument("--duration", type=float, default=None,
                    help="run for this many seconds instead of a fixed --n")

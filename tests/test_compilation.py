@@ -146,6 +146,32 @@ def test_to_tflite_class_filter_missing_val_class(mlp_setup, tmp_path):
     assert report["modes"]["fp32"]["accuracy"] > 0.7
 
 
+def test_to_tflite_rejects_any_class_count_mismatch(mlp_setup, tmp_path):
+    """ADVICE r2: the no-filter guard must fire for ANY class-count mismatch,
+    including a model with MORE classes than the feature set (previously only
+    fewer-than was caught, letting extra argmax classes skew accuracy and
+    write a too-short deploy label_names.json)."""
+    from audio_edge_ml_pipeline_tpu.compilation.to_tflite import compile_model
+    from audio_edge_ml_pipeline_tpu.features.base import FeatureSet
+    from audio_edge_ml_pipeline_tpu.features.pipeline import FeaturePipeline
+
+    root = mlp_setup
+    val = FeaturePipeline.load(root / "val")
+    keep = val.labels != 2  # two-class feature set vs the 3-class model
+    FeaturePipeline.save(
+        FeatureSet(features=val.features[keep], feature_type="classical",
+                   modality="audio", metadata=[{} for _ in range(int(keep.sum()))],
+                   labels=val.labels[keep], label_names=["a", "b"]),
+        tmp_path / "val_ab",
+    )
+    with pytest.raises(ValueError, match="3 output classes .* 2"):
+        compile_model(
+            root / "run" / "model.flax.npz", tmp_path / "val_ab",
+            tmp_path / "val_ab", tmp_path / "out",
+            class_filter=None, mel_params={},
+        )
+
+
 def test_compile_xla_cli(mlp_setup, tmp_path):
     root = mlp_setup
     out = tmp_path / "xla_report.json"

@@ -2,6 +2,7 @@
 (generate_split, serial protocol, export_svm bundle)."""
 
 import json
+import os
 import subprocess
 import sys
 import threading
@@ -118,6 +119,28 @@ def test_edge_simulator(tmp_path):
     assert ev["prediction"] in ("low", "high") and 0 <= ev["confidence"] <= 1
     stats = json.loads((tmp_path / "stats" / "dev9_stats.json").read_text())
     assert stats["total_inferences"] == 5
+
+    # fleet mode (ADVICE r2): ids get an explicit "-N" suffix — plain
+    # concatenation made "sim0"+1 == "sim01", ambiguous with a real sim01
+    from audio_edge_ml_pipeline_tpu.serve import edge_simulator
+
+    labels_f = tmp_path / "label_names.json"
+    labels_f.write_text(json.dumps(["low", "high"]))
+    mel_f = tmp_path / "mel_params.json"
+    mel_f.write_text(json.dumps(
+        {"sample_rate": sr, "n_mels": 16, "n_fft": 512, "hop_length": 160, "duration": dur}))
+    cwd = os.getcwd()
+    os.chdir(tmp_path)  # default telemetry dirs are cwd-relative
+    try:
+        edge_simulator.main([
+            "--model", str(tmp_path / "run" / "model.flax.npz"),
+            "--labels", str(labels_f), "--dataset", str(ds),
+            "--mel-params", str(mel_f), "--num-devices", "3", "--n", "2",
+        ])
+    finally:
+        os.chdir(cwd)
+    seen = sorted(p.name for p in (tmp_path / "data" / "telemetry").glob("*.jsonl"))
+    assert seen == ["sim0-1_telemetry.jsonl", "sim0-2_telemetry.jsonl", "sim0_telemetry.jsonl"]
 
 
 # ---------------------------------------------------------------------------
