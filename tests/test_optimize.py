@@ -109,6 +109,47 @@ def optimized_out(trained_setup, tmp_path_factory):
     return out
 
 
+def test_int8_emulation_predicts_real_tflite_int8(trained_setup, tmp_path):
+    """SURVEY hard part 6 (INT8 emulation fidelity): the emulated
+    static-int8 accuracy drop must predict the REAL TFLite full-integer
+    drop on the same model + eval set, so post-opt selection picks
+    deployable models. Emulation: per-tensor fake-quant weights + input
+    quant grid (optimize/quantize.py). Real: jax2tf -> TFLite int8 with a
+    representative dataset (compilation/to_tflite.py)."""
+    from audio_edge_ml_pipeline_tpu.compilation.to_tflite import (
+        convert_modes,
+        evaluate_tflite,
+    )
+    from audio_edge_ml_pipeline_tpu.features.pipeline import FeaturePipeline
+    from audio_edge_ml_pipeline_tpu.models.deep import load_any_model
+    from audio_edge_ml_pipeline_tpu.optimize.quantize import build_mode, evaluate_model
+
+    root = trained_setup
+    calib = FeaturePipeline.load(root / "calib")
+    ev = FeaturePipeline.load(root / "eval")
+    names = list(ev.label_names)
+    model_path = root / "cnn_run" / "model.flax.npz"
+    trainer = load_any_model(model_path)
+
+    acc_fp32 = evaluate_model(trainer, ev.features, ev.labels, names)["accuracy"]
+    view, _, _ = build_mode(trainer, model_path, "static_int8", tmp_path, calib.features)
+    acc_emu = evaluate_model(view, ev.features, ev.labels, names)["accuracy"]
+
+    Xc = trainer._prepare_input(np.asarray(calib.features, np.float32))
+    Xv = trainer._prepare_input(np.asarray(ev.features, np.float32))
+    paths = convert_modes(trainer, Xv.shape[1:], Xc, tmp_path)
+    assert "int8" in paths, "real TFLite full-int8 conversion failed"
+    acc_real = evaluate_tflite(paths["int8"], Xv, ev.labels)["accuracy"]
+
+    assert acc_fp32 > 0.8  # the synthetic task is separable; drops are meaningful
+    # the two int8 schemes differ (per-tensor emulation vs TFLite per-axis),
+    # but their accuracy drops must agree closely enough that the stage-6
+    # accept/reject decision (0.05 gate) transfers to the deployed artifact
+    assert abs((acc_fp32 - acc_emu) - (acc_fp32 - acc_real)) <= 0.1, (
+        f"emulated drop {acc_fp32 - acc_emu:.3f} vs real drop {acc_fp32 - acc_real:.3f}"
+    )
+
+
 def test_optimize_cli_and_postopt(trained_setup, optimized_out, tmp_path):
     root = trained_setup
     out = optimized_out
