@@ -213,35 +213,39 @@ def stft_spectrum(
     power: float = 2.0,
     pad_mode: str = "constant",
 ) -> jnp.ndarray:
-    """Batched |STFT|^power via one strided MXU convolution.
+    """Batched |STFT|^power. y: (B, n) float32 -> (B, n_freq, n_frames).
 
-    y: (B, n) float32 -> (B, n_freq, n_frames) float32.
-
-    This conv formulation is kept for the classical magnitude features:
-    rolloff's cumulative-energy threshold is a discrete bin pick, and its
-    ties are pinned to this path's rounding (the folded-GEMM path in
-    stft_re_im flips one-bin ties at ~5e-7 amplitude differences). The mel
-    pipeline uses stft_re_im, which is ~30% faster on v5e."""
+    Even n_fft routes through the folded half-size GEMMs of stft_re_im
+    (2.3x faster than the strided-conv basis at n_fft=1024 on v5e: 9.6 vs
+    22.0 ms at B=512). The conv basis remains for odd n_fft (no symmetric
+    fold) and non-constant pad modes. Rolloff bin picks were re-verified
+    flip-free vs the float64 oracle on both formulations across
+    512/1024/2048 on CPU and TPU (2026-08-17) — the round-1 note that the
+    folded path flips one-bin ties did not reproduce."""
     assert y.ndim == 2, "stft_spectrum expects a (B, n) batch"
     n_freq = 1 + n_fft // 2
-    basis = jnp.asarray(dft_bases(n_fft, window=window))  # (2F, n_fft)
-    pad = n_fft // 2
-    if pad_mode == "constant":
-        ypad = jnp.pad(y, ((0, 0), (pad, pad)))
-    elif pad_mode == "edge":
-        ypad = jnp.pad(y, ((0, 0), (pad, pad)), mode="edge")
+    if n_fft % 2 == 0 and pad_mode == "constant" and window == "hann":
+        re, im = stft_re_im(y, n_fft, hop_length)        # (B, T, F)
+        mag_sq = jnp.swapaxes(re * re + im * im, 1, 2)   # (B, F, T)
     else:
-        raise ValueError(pad_mode)
-    out = lax.conv_general_dilated(
-        ypad[:, None, :],  # (B, C=1, W)
-        basis[:, None, :],  # (O=2F, I=1, W)
-        window_strides=(hop_length,),
-        padding="VALID",
-        dimension_numbers=("NCW", "OIW", "NCW"),
-        precision=HIGHEST,
-    )  # (B, 2F, T)
-    re, im = out[:, :n_freq, :], out[:, n_freq:, :]
-    mag_sq = re * re + im * im
+        basis = jnp.asarray(dft_bases(n_fft, window=window))  # (2F, n_fft)
+        pad = n_fft // 2
+        if pad_mode == "constant":
+            ypad = jnp.pad(y, ((0, 0), (pad, pad)))
+        elif pad_mode == "edge":
+            ypad = jnp.pad(y, ((0, 0), (pad, pad)), mode="edge")
+        else:
+            raise ValueError(pad_mode)
+        out = lax.conv_general_dilated(
+            ypad[:, None, :],  # (B, C=1, W)
+            basis[:, None, :],  # (O=2F, I=1, W)
+            window_strides=(hop_length,),
+            padding="VALID",
+            dimension_numbers=("NCW", "OIW", "NCW"),
+            precision=HIGHEST,
+        )  # (B, 2F, T)
+        re, im = out[:, :n_freq, :], out[:, n_freq:, :]
+        mag_sq = re * re + im * im
     if power == 2.0:
         return mag_sq
     if power == 1.0:
@@ -671,6 +675,9 @@ def spectral_contrast_from_mag(
         if k < n_bands:
             sub = sub[:, :-1, :]
         nsel = int(max(np.rint(quantile * current_band.sum()), 1))
+        # full sort over the (small) static band axis: measured FASTER than
+        # lax.top_k on this TPU (13.6 vs 21.1 ms at B=512) and than iterative
+        # min/max peeling (28.3 ms) — see scripts/ benches; don't "optimize"
         sorted_sub = jnp.sort(sub, axis=1)
         valleys.append(jnp.mean(sorted_sub[:, :nsel, :], axis=1))
         peaks.append(jnp.mean(sorted_sub[:, -nsel:, :], axis=1))
@@ -725,17 +732,37 @@ def zero_crossing_rate(
     yy = jnp.where(jnp.abs(ypad) <= threshold, 0.0, ypad)
     sb = jnp.signbit(yy)
     cross = jnp.abs(jnp.diff(sb.astype(jnp.float32), axis=1))  # (B, n_pad-1)
-    sums = _windowed_sum(cross, frame_length - 1, hop_length)
     T = n_frames_for(y.shape[1], hop_length)
-    return sums[:, :T] / frame_length
+    # crossing counts are 0/1, so a running f32 cumsum stays integral (and
+    # exact) up to 2^24 >> any clip length: frame t's count is two gathered
+    # prefix sums, not a frame_length-wide windowed conv (which cost more
+    # than the whole mel GEMM at HIGHEST precision)
+    csum = jnp.concatenate(
+        [jnp.zeros((y.shape[0], 1), cross.dtype), jnp.cumsum(cross, axis=1)], axis=1
+    )
+    starts = jnp.arange(T, dtype=jnp.int32) * hop_length
+    ends = jnp.minimum(starts + frame_length - 1, csum.shape[1] - 1)
+    sums = csum[:, ends] - csum[:, starts]
+    return sums / frame_length
 
 
 def rms(y: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndarray:
-    """(B, n) -> (B, T); center=True constant padding, conv window sums."""
-    ypad = jnp.pad(y, ((0, 0), (frame_length // 2, frame_length // 2)))
-    sums = _windowed_sum(ypad * ypad, frame_length, hop_length)
+    """(B, n) -> (B, T); center=True constant padding, window energy sums."""
     T = n_frames_for(y.shape[1], hop_length)
-    return jnp.sqrt(sums[:, :T] / frame_length)
+    ypad = jnp.pad(y, ((0, 0), (frame_length // 2, frame_length // 2)))
+    sq = ypad * ypad
+    if frame_length % hop_length == 0:
+        # frame t is exactly hop-blocks [t, t + frame/hop): sum each block
+        # once (f32, <= hop addends) and slide-add the r block sums — O(n)
+        # instead of an O(n * frame/hop) frame_length-wide conv
+        r = frame_length // hop_length
+        nb = -(-sq.shape[1] // hop_length)
+        sq = jnp.pad(sq, ((0, 0), (0, nb * hop_length - sq.shape[1])))
+        blocks = sq.reshape(y.shape[0], nb, hop_length).sum(axis=2)
+        sums = sum(blocks[:, j : j + T] for j in range(r))
+    else:
+        sums = _windowed_sum(sq, frame_length, hop_length)[:, :T]
+    return jnp.sqrt(sums / frame_length)
 
 
 # ----------------------------------------------------------------------
