@@ -94,7 +94,10 @@ class AudioCQT(BatchedAudioExtractor):
 
     name = "audio_cqt"
     feature_type = "deep"
-    batch_size = 64  # large rFFT frames; keep device memory bounded
+    # dsp.cqt_magnitude blocks its own frames tensor under _CQT_FRAMES_BUDGET,
+    # so the extractor batch is set by throughput, not memory: B=512 measured
+    # 4.2k clips/s on v5e vs a ~2.5k dispatch-overhead ceiling at the old B=64
+    batch_size = 512
 
     def __init__(
         self,

@@ -507,6 +507,10 @@ def delta(x: jnp.ndarray, width: int = 9, order: int = 1) -> jnp.ndarray:
 
 
 _CQT_CHUNK = 256  # MXU-aligned contraction chunks (2 x 128 lanes)
+# frames-tensor budget per scan block: at most this many f32 elements of
+# (Bb, T, n_fft) materialize at once (~2.1 GB); B=1024 5 s clips would
+# otherwise build a 14.5 GB frames tensor (measured OOM on 16 GB v5e)
+_CQT_FRAMES_BUDGET = 512 * 1024 * 1024
 
 
 def _two_f32(a64: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -547,38 +551,72 @@ def cqt_magnitude(
     pad = n_fft // 2
     ypad = jnp.pad(y, ((0, 0), (pad, pad)))
     T = n_frames_for(y.shape[1], hop_length)
-    starts = np.arange(T) * hop_length
-    idx = starts[:, None] + np.arange(n_fft)[None, :]
-    frames = ypad[:, idx]  # (B, T, n_fft)
+    idx = jnp.asarray(
+        (np.arange(T)[:, None] * hop_length + np.arange(n_fft)[None, :]).astype(
+            np.int32
+        )
+    )
 
     B = y.shape[0]
+    K = h.shape[0]
     # high fmin / low sr configs yield n_fft below the chunk width (n_fft is
     # a power of two, so it divides the chunk evenly in that case)
     chunk = min(_CQT_CHUNK, n_fft)
     nc = n_fft // chunk
-    f_c = frames.reshape(B, T, nc, chunk)
+    kcw = [jnp.asarray(w.reshape(K, nc, chunk)) for w in (hr0, hr1, hi0, hi1)]
 
-    def _contract(h0: np.ndarray, h1: np.ndarray) -> jnp.ndarray:
-        parts = jnp.einsum(
-            "btcn,kcn->bktc", f_c, jnp.asarray(h0.reshape(-1, nc, chunk)),
-            precision=HIGHEST,
-        )
-        corr = jnp.einsum("btn,kn->bkt", frames, jnp.asarray(h1), precision=HIGHEST)
+    def _contract(f_c, frames, kc0, k1):
+        parts = jnp.einsum("btcn,kcn->bktc", f_c, kc0, precision=HIGHEST)
+        corr = jnp.einsum("btn,kn->bkt", frames, k1, precision=HIGHEST)
 
         def kahan_add(carry, x):
             s, c = carry
             yv = x - c
             t_new = s + yv
-            c = (t_new - s) - yv
-            return (t_new, c), None
+            return (t_new, (t_new - s) - yv), None
 
-        p = jnp.moveaxis(parts, -1, 0)  # (nc, B, K, T)
-        (s, _), _ = jax.lax.scan(kahan_add, (jnp.zeros_like(p[0]), jnp.zeros_like(p[0])), p)
+        p = jnp.moveaxis(parts, -1, 0)  # (nc, Bb, K, T)
+        (s, _), _ = lax.scan(kahan_add, (jnp.zeros_like(p[0]),) * 2, p)
         return s + corr
 
-    Cr = _contract(hr0, hr1)
-    Ci = _contract(hi0, hi1)
-    return jnp.sqrt(Cr * Cr + Ci * Ci)
+    def _block(yb):
+        frames = yb[:, idx]  # (Bb, T, n_fft)
+        f_c = frames.reshape(yb.shape[0], T, nc, chunk)
+        Cr = _contract(f_c, frames, kcw[0], kcw[1].reshape(K, n_fft))
+        Ci = _contract(f_c, frames, kcw[2], kcw[3].reshape(K, n_fft))
+        return jnp.sqrt(Cr * Cr + Ci * Ci)  # (Bb, K, T)
+
+    # Memory: the frames tensor is (B, T, n_fft) f32 — 14.5 GB at B=1024
+    # for 5 s/22.05 kHz clips (measured OOM on 16 GB v5e). Large batches
+    # are processed in batch blocks under a scan so at most
+    # _CQT_FRAMES_BUDGET elements materialize per step; each clip sees the
+    # exact same per-block contraction. Small batches (every CPU parity
+    # test, and any B within budget) take the direct single-block path —
+    # restructurings that shrink the einsum's GEMM rows (per-chunk dots or
+    # frame blocks inside the scan body) measured 2.8e-5 / 5.4e-5 feature
+    # error on XLA:CPU vs ~7e-6 for this batched-einsum formulation, so
+    # the inner contraction must keep its shape.
+    nb = max(1, -(-(B * T * n_fft) // _CQT_FRAMES_BUDGET))
+    if nb == 1:
+        return _block(ypad)
+    # prefer a block count that divides B (Bb=147 at B=1024 measured ~2x
+    # slower per clip than the even Bb=128 split — misaligned GEMM tiles
+    # plus a wasted padded block)
+    nb = min(nb, B)
+    for cand in range(nb, min(2 * nb, B) + 1):
+        if B % cand == 0:
+            nb = cand
+            break
+    Bb = -(-B // nb)
+    pad_rows = nb * Bb - B
+    if pad_rows:
+        ypad = jnp.pad(ypad, ((0, pad_rows), (0, 0)))
+    _, blocks = lax.scan(
+        lambda _, yb: (None, _block(yb)),
+        None,
+        ypad.reshape(nb, Bb, ypad.shape[1]),
+    )  # (nb, Bb, K, T)
+    return blocks.reshape(nb * Bb, K, T)[:B]
 
 
 def cqt_feature(

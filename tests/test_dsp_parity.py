@@ -146,6 +146,26 @@ def test_cqt_feature_parity(batch22k):
     assert err <= 1e-5, f"cqt parity {err:.3e}"
 
 
+def test_cqt_batch_blocking_matches_direct(batch22k, monkeypatch):
+    """Large batches run CQT in batch blocks under a scan (the direct
+    path's frames tensor measured OOM at B=1024 on v5e); each block must
+    reproduce the direct path's contraction. Shrinking the budget forces
+    the blocked path on the test batch, including an uneven final block."""
+    y4, sr = batch22k
+    y = np.concatenate([y4, y4[:1]])  # B=5: prime, forces a padded block
+    direct = np.asarray(dsp.cqt_magnitude(jnp.asarray(y), sr, 512, 84))
+    n_fft = dsp.ref.cqt_time_basis(sr, dsp.ref.C1_HZ, 84, 12)[1]
+    T = dsp.n_frames_for(y.shape[1], 512)
+    # budget for 2.5 clips -> nb=2 (no divisor of 5 in [2, 4]), Bb=3,
+    # final block padded with one zero row that must be sliced off
+    monkeypatch.setattr(dsp, "_CQT_FRAMES_BUDGET", int(2.5 * T * n_fft))
+    blocked = np.asarray(dsp.cqt_magnitude(jnp.asarray(y), sr, 512, 84))
+    assert blocked.shape == direct.shape
+    # same formulation at a smaller GEMM row count: tiny lowering jitter
+    # only — far inside the 1e-5 feature gate
+    assert np.max(np.abs(blocked - direct)) <= 2e-6
+
+
 def test_waveform_feature_parity(batch16k):
     y, sr = batch16k
     out = np.asarray(dsp.waveform_feature(jnp.asarray(y)))
