@@ -7,14 +7,22 @@ environment, so HOG/LBP/GLCM are implemented here in vectorized numpy with
 the standard definitions (9-orientation HOG on 8x8 cells with 2x2 L2-Hys
 blocks; uniform LBP P=24 R=3 -> 26 bins; 64-bin gray histogram; GLCM
 contrast/dissimilarity/homogeneity/energy/correlation/ASM).
+
+On an accelerator, ``image_classical.extract_dataset`` runs the whole
+descriptor stack as one jitted batch (ops/imgdsp.py — measured 17-26k
+images/s on v5e vs ~35/s for the per-sample numpy path, which remains the
+oracle and the CPU/fallback path).
 """
 
 from __future__ import annotations
 
+import logging
 from pathlib import Path
 from typing import Optional
 
 import numpy as np
+
+_logger = logging.getLogger(__name__)
 
 from .base import BaseFeatureExtractor
 from .registry import register
@@ -38,6 +46,13 @@ def _load_rgb(path: Path, size: tuple[int, int], bbox_norm=None) -> np.ndarray:
         img = _crop_bbox(img, bbox_norm)
     img = img.resize(size)
     return np.asarray(img, dtype=np.float32) / 255.0
+
+
+def _take(loader, max_samples):
+    for i, item in enumerate(loader):
+        if max_samples is not None and i >= max_samples:
+            return
+        yield item
 
 
 def _crop_bbox(img, bbox_norm):
@@ -94,9 +109,25 @@ def hog_features(gray: np.ndarray, orientations: int = 9, cell=8, block=2) -> np
     return np.concatenate(blocks) if blocks else np.zeros(0)
 
 
+LBP_WEIGHT_SCALE = 1024  # 10-bit fixed-point bilinear weights
+
+
 def lbp_histogram(gray: np.ndarray, P: int = 24, R: float = 3.0) -> np.ndarray:
-    """Uniform LBP histogram with P+2 bins (26 for P=24)."""
+    """Uniform LBP histogram with P+2 bins (26 for P=24).
+
+    Exact-arithmetic contract: the image is quantized to 8-bit levels
+    (LBP's classical domain — lossless for PNG/JPEG-decoded inputs) and
+    the bilinear weights to 10-bit fixed point, so the neighbor >= center
+    test ``sum_c wq_c * (Q_c - Q_center) >= 0`` is a sum of exact
+    integers below 2^24 — the same bit falls out of float32 under ANY
+    summation order, FMA contraction, or backend. (A float-form
+    ``interp >= center`` measured unstable: XLA jit-vs-eager flipped
+    4/1024 pixels on flat frames via fused-add rounding, and constant
+    regions decided ties by the eps of the weight sum.)
+    ops.imgdsp.lbp_histogram_batch shares the arithmetic; tests pin the
+    two together bit-exactly."""
     H, W = gray.shape
+    q = np.rint(np.asarray(gray, np.float32) * 255.0).astype(np.float32)
     ys, xs = np.mgrid[0:H, 0:W]
     angles = 2 * np.pi * np.arange(P) / P
     count_ones = np.zeros((H, W), int)
@@ -111,13 +142,16 @@ def lbp_histogram(gray: np.ndarray, P: int = 24, R: float = 3.0) -> np.ndarray:
         y0, x0 = np.floor(yy).astype(int), np.floor(xx).astype(int)
         y1, x1 = np.minimum(y0 + 1, H - 1), np.minimum(x0 + 1, W - 1)
         fy, fx = yy - y0, xx - x0
-        val = (
-            gray[y0, x0] * (1 - fy) * (1 - fx)
-            + gray[y1, x0] * fy * (1 - fx)
-            + gray[y0, x1] * (1 - fy) * fx
-            + gray[y1, x1] * fy * fx
+        w11, w10 = fy * fx, fy * (1 - fx)
+        w01, w00 = (1 - fy) * fx, (1 - fy) * (1 - fx)
+        s = LBP_WEIGHT_SCALE
+        delta = (
+            np.rint(w00 * s).astype(np.float32) * (q[y0, x0] - q)
+            + np.rint(w10 * s).astype(np.float32) * (q[y1, x0] - q)
+            + np.rint(w01 * s).astype(np.float32) * (q[y0, x1] - q)
+            + np.rint(w11 * s).astype(np.float32) * (q[y1, x1] - q)
         )
-        bit = (val >= gray).astype(int)
+        bit = (delta >= 0).astype(int)
         count_ones += bit
         if prev_bit is not None:
             transitions += bit != prev_bit
@@ -182,6 +216,10 @@ class ImageClassicalExtractor(BaseFeatureExtractor):
     name = "image_classical"
     feature_type = "classical"
     modality = "image"
+    # measured on v5e at 128x128: 17.4k img/s @ B=64 -> 26.1k @ B=512;
+    # 256 clears the ~25 ms tunnel dispatch floor while host decode
+    # (threaded PIL) remains the true bound
+    batch_size = 256
 
     def __init__(self, resize_to=(128, 128), hog_orientations: int = 9,
                  hog_pixels_per_cell=(8, 8), hog_cells_per_block=(2, 2),
@@ -195,6 +233,7 @@ class ImageClassicalExtractor(BaseFeatureExtractor):
         self.lbp_n_points = lbp_n_points
         self.lbp_radius = lbp_radius
         self.n_hist_bins = n_hist_bins
+        self._batch_fn = None  # jitted once, on first extract_dataset use
 
     def extract(self, sample_path, bbox_norm=None, **_kw) -> np.ndarray:
         gray = _load_gray(sample_path, self.resize_to, bbox_norm)
@@ -203,6 +242,85 @@ class ImageClassicalExtractor(BaseFeatureExtractor):
             block=self.hog_cells_per_block, lbp_points=self.lbp_n_points,
             lbp_radius=self.lbp_radius, n_hist_bins=self.n_hist_bins,
         )
+
+    def _batched(self):
+        """Jitted (B, H, W) -> (B, D) descriptor stack, built once per
+        extractor (a fresh closure per call = one XLA compile per call)."""
+        if self._batch_fn is None:
+            import jax
+
+            from ..ops import imgdsp
+
+            self._batch_fn = jax.jit(
+                lambda g: imgdsp.classical_image_vector_batch(
+                    g,
+                    orientations=self.hog_orientations,
+                    cell=self.hog_pixels_per_cell,
+                    block=self.hog_cells_per_block,
+                    lbp_points=self.lbp_n_points,
+                    lbp_radius=self.lbp_radius,
+                    n_hist_bins=self.n_hist_bins,
+                )
+            )
+        return self._batch_fn
+
+    # None = auto: device batch on accelerators, per-sample numpy on CPU
+    # (the one-hot GEMM formulation measured 15 img/s under XLA:CPU vs
+    # 35 img/s plain numpy vs thousands/s on the TPU)
+    use_device_batch: Optional[bool] = None
+
+    def _device_batch_enabled(self) -> bool:
+        if self.use_device_batch is not None:
+            return self.use_device_batch
+        import jax
+
+        return jax.default_backend() != "cpu"
+
+    def extract_dataset(self, loader, max_samples=None):
+        """Batched accelerator path: decode/resize on host threads, run the
+        HOG/LBP/GLCM/hist stack as one jitted batch on device (measured
+        ~35 images/s per-sample numpy vs thousands/s batched; parity is
+        oracle-tested in tests/test_image_jax.py)."""
+        if not self._device_batch_enabled():
+            return super().extract_dataset(loader, max_samples)
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .base import _collect
+
+        samples = list(_take(loader, max_samples))
+        feats, labels, metas = [], [], []
+        label_to_idx: dict[str, int] = {}
+        fn = self._batched()
+
+        def decode(item):
+            path, label, meta = item
+            try:
+                return _load_gray(path, self.resize_to, meta.get("bbox_norm")), label, meta
+            except Exception as exc:  # skip-and-continue (reference base.py:203-206)
+                _logger.warning("Skipping %s: %s", path, exc)
+                return None, label, meta
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            for s in range(0, len(samples), self.batch_size):
+                out = list(pool.map(decode, samples[s : s + self.batch_size]))
+                good = [(g, l, m) for g, l, m in out if g is not None]
+                if not good:
+                    continue
+                batch = np.stack([g for g, _, _ in good])
+                pad = self.batch_size - len(batch)
+                if pad:  # fixed jit shape
+                    batch = np.concatenate(
+                        [batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)]
+                    )
+                vecs = np.asarray(fn(batch))[: len(good)]
+                for j, (_, label, meta) in enumerate(good):
+                    feats.append(vecs[j].astype(np.float32))
+                    metas.append(meta)
+                    if label is not None:
+                        if label not in label_to_idx:
+                            label_to_idx[label] = len(label_to_idx)
+                        labels.append(label_to_idx[label])
+        return _collect(feats, labels, metas, label_to_idx, self.feature_type, self.modality)
 
 
 @register

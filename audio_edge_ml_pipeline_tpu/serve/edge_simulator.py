@@ -194,7 +194,8 @@ def main(argv=None) -> None:
                    help="class-per-subfolder WAV dir")
     p.add_argument("--device-id", default="sim0")
     p.add_argument("--num-devices", type=int, default=1,
-                   help="simulate a fleet: N devices round-robin on one host "
+                   help="simulate a fleet: N concurrent devices on one host, "
+                        "each running --n inferences "
                         "(ids <device-id>, <device-id>-1, ...)")
     p.add_argument("--n", type=int, default=20)
     p.add_argument("--duration", type=float, default=None,
