@@ -128,10 +128,26 @@ def probe_audio(path: Path | str) -> dict:
         return {"duration": 0.0, "sample_rate": 0, "n_channels": 0}
 
 
+_RATIO_EXACT_CAP = 1024  # all standard rate pairs (441/320 etc.) stay exact
+_RATIO_APPROX_DEN = 256  # near-coprime ratios: <= 1.5e-5 rel error (0.03 cent)
+
+
 @lru_cache(maxsize=64)
 def _resample_ratio(orig: int, target: int) -> tuple[int, int]:
+    """Reduced up/down for resample_poly; near-coprime pairs are snapped to
+    a bounded-denominator rational. Pitch-shift ratios like 16000/17959 are
+    coprime, and resample_poly's FIR taps scale with max(up, down) —
+    measured 817 ms/clip for a 2-semitone shift at the exact ratio vs
+    ~milliseconds at the 0.03-cent approximation. Every standard rate pair
+    (16k/22.05k/44.1k/48k...) reduces under the cap and remains exact."""
     gg = math.gcd(int(orig), int(target))
-    return int(target) // gg, int(orig) // gg
+    up, down = int(target) // gg, int(orig) // gg
+    if max(up, down) <= _RATIO_EXACT_CAP:
+        return up, down
+    from fractions import Fraction
+
+    fr = Fraction(int(target), int(orig)).limit_denominator(_RATIO_APPROX_DEN)
+    return fr.numerator, fr.denominator
 
 
 def resample(y: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:

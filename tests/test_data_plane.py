@@ -58,6 +58,33 @@ def test_resample_tone_preserved(tmp_path):
     assert abs(peak_hz - 1000) < 10
 
 
+def test_resample_ratio_near_coprime_snapped():
+    """Pitch-shift rates like 16000->17959 are coprime; the exact ratio makes
+    resample_poly design O(max(up,down)) FIR taps (~800 ms/clip measured).
+    Standard rate pairs must stay exact; near-coprime pairs snap to a
+    bounded-denominator rational within 1.5e-5 relative error."""
+    import time
+
+    from audio_edge_ml_pipeline_tpu.data.audio_io import _resample_ratio, resample
+
+    for orig, target in [(44100, 16000), (48000, 16000), (22050, 16000),
+                         (16000, 44100), (8000, 16000), (48000, 44100)]:
+        up, down = _resample_ratio(orig, target)
+        assert up / down == target / orig, (orig, target)
+
+    up, down = _resample_ratio(16000, 17959)  # +2-semitone shift rate
+    assert max(up, down) <= 256
+    rel = abs(up / down - 17959 / 16000) / (17959 / 16000)
+    assert rel <= 1.5e-5
+
+    y = np.random.default_rng(0).standard_normal(16000 * 5).astype(np.float32)
+    resample(y, 16000, 17959)  # warm the FIR cache
+    t0 = time.perf_counter()
+    z = resample(y, 16000, 17959)
+    assert time.perf_counter() - t0 < 0.5  # exact ratio measured ~0.8 s
+    assert abs(len(z) - 16000 * 5 * 17959 / 16000) <= 2
+
+
 def test_fsc22_loader_split_determinism(synth_root):
     from audio_edge_ml_pipeline_tpu.data.loaders import FSC22Loader
 
