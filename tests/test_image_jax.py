@@ -141,3 +141,20 @@ def test_video_extractor_batched_matches_per_sample(tmp_path):
     per_sample = np.stack([ex.extract(p) for p, _, _ in loader])
     assert fs.features.shape == per_sample.shape
     assert np.max(np.abs(fs.features - per_sample)) <= 2e-4
+
+def test_image_batched_skip_and_continue(image_folder):
+    """A corrupt file inside a device batch is skipped (reference
+    base.py:203-206 contract) and the remaining vectors keep loader order."""
+    from audio_edge_ml_pipeline_tpu.data.loaders import ImageFolderLoader
+
+    (image_folder / "a" / "s1.png").write_bytes(b"not a png")
+    ex = fi.ImageClassicalExtractor()
+    ex.batch_size = 4
+    ex.use_device_batch = True
+    loader = ImageFolderLoader(image_folder)
+    fs = ex.extract_dataset(loader)
+    assert fs.features.shape == (5, 8196)
+    good = [p for p, _, _ in loader if p.name != "s1.png" or p.parent.name != "a"]
+    per_sample = np.stack([ex.extract(p) for p in good])
+    assert np.max(np.abs(fs.features - per_sample)) <= 2e-4
+    assert fs.n_classes == 2
