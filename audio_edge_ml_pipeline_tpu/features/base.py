@@ -144,6 +144,85 @@ def _collect(
     )
 
 
+def auto_device_batch(flag: Optional[bool]) -> bool:
+    """None = auto: device-batch on accelerators, per-sample host path on
+    CPU (where the one-hot/GEMM formulations measured slower than numpy)."""
+    if flag is not None:
+        return flag
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
+def pad_stack(decoded: list[np.ndarray], batch: int) -> np.ndarray:
+    """Stack per-item arrays and zero-pad the leading axis to ``batch`` so
+    every device call sees one fixed jit shape (padded rows are computed
+    and discarded by the caller)."""
+    x = np.stack(decoded)
+    pad = batch - len(x)
+    if pad:
+        x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+    return x
+
+
+def _device_batched_dataset(
+    loader: "BaseDatasetLoader",
+    max_samples: Optional[int],
+    decode,  # (path, meta) -> decoded array; raises to skip the sample
+    pack,  # list[decoded] -> fixed-shape device input
+    run,  # device input -> device output (jitted, cached by the caller)
+    unpack,  # (np.ndarray output, list[decoded]) -> per-item feature vectors
+    chunk: int,
+    feature_type: str,
+    modality: str,
+    workers: int = 8,
+) -> FeatureSet:
+    """Shared chunked decode->pad->device->collect loop for the batched
+    extractor paths (image/video descriptors, backbone embeddings): host
+    threads decode with skip-and-continue (reference base.py:203-206
+    contract), the device runs fixed-shape batches, labels intern in first
+    occurrence order exactly like BaseFeatureExtractor.extract_dataset."""
+    samples = []
+    for i, item in enumerate(loader):
+        if max_samples is not None and i >= max_samples:
+            break
+        samples.append(item)
+
+    feats: list[np.ndarray] = []
+    labels: list[int] = []
+    metas: list[dict] = []
+    label_to_idx: dict[str, int] = {}
+
+    def _decode(item):
+        path, label, meta = item
+        try:
+            out = decode(path, meta)
+        except Exception as exc:
+            logger.warning("Skipping %s: %s", path, exc)
+            return None, label, meta
+        if out is None or (hasattr(out, "__len__") and len(out) == 0):
+            logger.warning("Skipping %s: empty decode", path)
+            return None, label, meta
+        return out, label, meta
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        for s in range(0, len(samples), chunk):
+            out = list(pool.map(_decode, samples[s : s + chunk]))
+            good = [(g, l, m) for g, l, m in out if g is not None]
+            if not good:
+                continue
+            decoded = [g for g, _, _ in good]
+            vecs = unpack(np.asarray(run(pack(decoded))), decoded)
+            for vec, (_, label, meta) in zip(vecs, good):
+                feats.append(np.asarray(vec, np.float32))
+                metas.append(meta)
+                if label is not None:
+                    if label not in label_to_idx:
+                        label_to_idx[label] = len(label_to_idx)
+                    labels.append(label_to_idx[label])
+    return _collect(feats, labels, metas, label_to_idx, feature_type, modality)
+
+
 class BaseFeatureExtractor(ABC):
     """Extractor ABC. Subclasses set ``name`` / ``feature_type`` /
     ``modality`` and implement ``extract``. ``extract_dataset`` is the

@@ -16,13 +16,10 @@ oracle and the CPU/fallback path).
 
 from __future__ import annotations
 
-import logging
 from pathlib import Path
 from typing import Optional
 
 import numpy as np
-
-_logger = logging.getLogger(__name__)
 
 from .base import BaseFeatureExtractor
 from .registry import register
@@ -46,13 +43,6 @@ def _load_rgb(path: Path, size: tuple[int, int], bbox_norm=None) -> np.ndarray:
         img = _crop_bbox(img, bbox_norm)
     img = img.resize(size)
     return np.asarray(img, dtype=np.float32) / 255.0
-
-
-def _take(loader, max_samples):
-    for i, item in enumerate(loader):
-        if max_samples is not None and i >= max_samples:
-            return
-        yield item
 
 
 def _crop_bbox(img, bbox_norm):
@@ -269,58 +259,27 @@ class ImageClassicalExtractor(BaseFeatureExtractor):
     # 35 img/s plain numpy vs thousands/s on the TPU)
     use_device_batch: Optional[bool] = None
 
-    def _device_batch_enabled(self) -> bool:
-        if self.use_device_batch is not None:
-            return self.use_device_batch
-        import jax
-
-        return jax.default_backend() != "cpu"
-
     def extract_dataset(self, loader, max_samples=None):
         """Batched accelerator path: decode/resize on host threads, run the
         HOG/LBP/GLCM/hist stack as one jitted batch on device (measured
         ~35 images/s per-sample numpy vs thousands/s batched; parity is
         oracle-tested in tests/test_image_jax.py)."""
-        if not self._device_batch_enabled():
+        from .base import _device_batched_dataset, auto_device_batch, pad_stack
+
+        if not auto_device_batch(self.use_device_batch):
             return super().extract_dataset(loader, max_samples)
-        from concurrent.futures import ThreadPoolExecutor
-
-        from .base import _collect
-
-        samples = list(_take(loader, max_samples))
-        feats, labels, metas = [], [], []
-        label_to_idx: dict[str, int] = {}
         fn = self._batched()
-
-        def decode(item):
-            path, label, meta = item
-            try:
-                return _load_gray(path, self.resize_to, meta.get("bbox_norm")), label, meta
-            except Exception as exc:  # skip-and-continue (reference base.py:203-206)
-                _logger.warning("Skipping %s: %s", path, exc)
-                return None, label, meta
-
-        with ThreadPoolExecutor(max_workers=8) as pool:
-            for s in range(0, len(samples), self.batch_size):
-                out = list(pool.map(decode, samples[s : s + self.batch_size]))
-                good = [(g, l, m) for g, l, m in out if g is not None]
-                if not good:
-                    continue
-                batch = np.stack([g for g, _, _ in good])
-                pad = self.batch_size - len(batch)
-                if pad:  # fixed jit shape
-                    batch = np.concatenate(
-                        [batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)]
-                    )
-                vecs = np.asarray(fn(batch))[: len(good)]
-                for j, (_, label, meta) in enumerate(good):
-                    feats.append(vecs[j].astype(np.float32))
-                    metas.append(meta)
-                    if label is not None:
-                        if label not in label_to_idx:
-                            label_to_idx[label] = len(label_to_idx)
-                        labels.append(label_to_idx[label])
-        return _collect(feats, labels, metas, label_to_idx, self.feature_type, self.modality)
+        return _device_batched_dataset(
+            loader,
+            max_samples,
+            decode=lambda p, meta: _load_gray(p, self.resize_to, meta.get("bbox_norm")),
+            pack=lambda decoded: pad_stack(decoded, self.batch_size),
+            run=fn,
+            unpack=lambda out, decoded: out[: len(decoded)],
+            chunk=self.batch_size,
+            feature_type=self.feature_type,
+            modality=self.modality,
+        )
 
 
 @register
@@ -386,44 +345,17 @@ class ImageMobileNetV2(BaseFeatureExtractor):
 
     def extract_dataset(self, loader, max_samples=None):
         """Batched device path: decode on host threads, embed in batches."""
-        from concurrent.futures import ThreadPoolExecutor
+        from .base import _device_batched_dataset, pad_stack
 
-        from .base import _collect
-
-        samples = []
-        for i, item in enumerate(loader):
-            if max_samples is not None and i >= max_samples:
-                break
-            samples.append(item)
-
-        feats, labels, metas = [], [], []
-        label_to_idx: dict[str, int] = {}
         embed = self._embedder()
-
-        def decode(item):
-            path, label, meta = item
-            try:
-                return self._preprocess(path, meta.get("bbox_norm")), label, meta, None
-            except Exception as exc:
-                return None, label, meta, (path, exc)
-
-        with ThreadPoolExecutor(max_workers=8) as pool:
-            for s in range(0, len(samples), self.batch_size):
-                out = list(pool.map(decode, samples[s : s + self.batch_size]))
-                good = [(x, l, m) for x, l, m, e in out if x is not None]
-                if not good:
-                    continue
-                batch = np.stack([x for x, _, _ in good])
-                # pad to fixed batch for stable jit shapes
-                pad = self.batch_size - len(batch)
-                if pad:
-                    batch = np.concatenate([batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
-                emb = np.asarray(embed(batch))[: len(good)]
-                for j, (_, label, meta) in enumerate(good):
-                    feats.append(emb[j].astype(np.float32))
-                    metas.append(meta)
-                    if label is not None:
-                        if label not in label_to_idx:
-                            label_to_idx[label] = len(label_to_idx)
-                        labels.append(label_to_idx[label])
-        return _collect(feats, labels, metas, label_to_idx, self.feature_type, self.modality)
+        return _device_batched_dataset(
+            loader,
+            max_samples,
+            decode=lambda p, meta: self._preprocess(p, meta.get("bbox_norm")),
+            pack=lambda decoded: pad_stack(decoded, self.batch_size),
+            run=embed,
+            unpack=lambda out, decoded: out[: len(decoded)],
+            chunk=self.batch_size,
+            feature_type=self.feature_type,
+            modality=self.modality,
+        )

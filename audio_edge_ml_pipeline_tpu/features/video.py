@@ -151,6 +151,7 @@ class VideoClassicalExtractor(BaseFeatureExtractor):
     # None = auto: device batch on accelerators only (see
     # ImageClassicalExtractor.use_device_batch for the measured rationale)
     use_device_batch: Optional[bool] = None
+    videos_per_chunk = 8  # frames per device batch = this * max_frames
 
     def extract_dataset(self, loader, max_samples=None):
         """Batched accelerator path: cv2 decode on host threads, per-frame
@@ -158,61 +159,40 @@ class VideoClassicalExtractor(BaseFeatureExtractor):
         (time stats and optional Farneback flow remain host-side, matching
         the reference's cv2 semantics). Parity with the per-sample path is
         oracle-tested in tests/test_image_jax.py."""
-        if self.use_device_batch is None:
-            import jax
+        from .base import _device_batched_dataset, auto_device_batch
 
-            if jax.default_backend() == "cpu":
-                return super().extract_dataset(loader, max_samples)
-        elif not self.use_device_batch:
+        if not auto_device_batch(self.use_device_batch):
             return super().extract_dataset(loader, max_samples)
-        from concurrent.futures import ThreadPoolExecutor
-
-        from .base import _collect, logger
-
-        videos_per_chunk = 8
-        samples = []
-        for i, item in enumerate(loader):
-            if max_samples is not None and i >= max_samples:
-                break
-            samples.append(item)
-
-        feats, labels, metas = [], [], []
-        label_to_idx: dict[str, int] = {}
         fn = self._batched()
+        chunk = self.videos_per_chunk
 
-        def decode(item):
-            path, label, meta = item
-            try:
-                return _open_and_sample(path, self.max_frames, self.resize_to, gray=True), label, meta
-            except Exception as exc:  # skip-and-continue (reference base.py:203-206)
-                logger.warning("Skipping %s: %s", path, exc)
-                return None, label, meta
+        def pack(decoded):
+            # pad every video to max_frames for one fixed jit shape;
+            # padded rows are computed and discarded
+            padded = np.zeros(
+                (chunk, self.max_frames) + self.resize_to[::-1], np.float32
+            )
+            for j, f in enumerate(decoded):
+                padded[j, : len(f)] = f
+            return padded.reshape((-1,) + padded.shape[2:])
 
-        with ThreadPoolExecutor(max_workers=8) as pool:
-            for s in range(0, len(samples), videos_per_chunk):
-                out = list(pool.map(decode, samples[s : s + videos_per_chunk]))
-                good = [(f, l, m) for f, l, m in out if f is not None and len(f)]
-                if not good:
-                    continue
-                # pad every video to max_frames for one fixed jit shape;
-                # padded rows are computed and discarded
-                padded = np.zeros(
-                    (videos_per_chunk, self.max_frames) + self.resize_to[::-1], np.float32
-                )
-                n_frames = []
-                for j, (f, _, _) in enumerate(good):
-                    padded[j, : len(f)] = f
-                    n_frames.append(len(f))
-                flat = padded.reshape((-1,) + padded.shape[2:])
-                vecs = np.asarray(fn(flat)).reshape(videos_per_chunk, self.max_frames, -1)
-                for j, (f, label, meta) in enumerate(good):
-                    feats.append(self._finalize(vecs[j, : n_frames[j]], f))
-                    metas.append(meta)
-                    if label is not None:
-                        if label not in label_to_idx:
-                            label_to_idx[label] = len(label_to_idx)
-                        labels.append(label_to_idx[label])
-        return _collect(feats, labels, metas, label_to_idx, self.feature_type, self.modality)
+        def unpack(out, decoded):
+            vecs = out.reshape(chunk, self.max_frames, -1)
+            return [self._finalize(vecs[j, : len(f)], f) for j, f in enumerate(decoded)]
+
+        return _device_batched_dataset(
+            loader,
+            max_samples,
+            decode=lambda p, meta: _open_and_sample(
+                p, self.max_frames, self.resize_to, gray=True
+            ),
+            pack=pack,
+            run=fn,
+            unpack=unpack,
+            chunk=chunk,
+            feature_type=self.feature_type,
+            modality=self.modality,
+        )
 
 
 @register

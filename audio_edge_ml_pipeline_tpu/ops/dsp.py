@@ -604,7 +604,10 @@ def cqt_magnitude(
     # plus a wasted padded block)
     nb = min(nb, B)
     for cand in range(nb, min(2 * nb, B) + 1):
-        if B % cand == 0:
+        # reject divisors that shrink blocks below half the padded split's
+        # block size (e.g. B=7 needing nb=5: divisor 7 would run batch-1
+        # scan steps — worse than the padded Bb=2 split)
+        if B % cand == 0 and 2 * (B // cand) > -(-B // nb):
             nb = cand
             break
     Bb = -(-B // nb)

@@ -20,9 +20,7 @@ from __future__ import annotations
 import numpy as np
 
 import jax.numpy as jnp
-from jax import lax
 
-HIGHEST = lax.Precision.HIGHEST
 _LBP_WEIGHT_SCALE = 1024  # keep equal to features.image.LBP_WEIGHT_SCALE
 
 
@@ -160,6 +158,9 @@ def glcm_stats_batch(gray: jnp.ndarray, levels: int = 32) -> jnp.ndarray:
     lv = jnp.arange(levels, dtype=jnp.int32)
     one_a = (a[:, :, None] == lv).astype(jnp.float32)
     one_b = (b[:, :, None] == lv).astype(jnp.float32)
+    # DEFAULT matmul precision is exact here (no HIGHEST needed, unlike the
+    # DSP paths): the operands are 0/1 one-hots — representable in bf16 —
+    # and the MXU accumulates in f32, so the counts are integer-exact
     glcm = jnp.einsum("bnl,bnm->blm", one_a, one_b)
     glcm = glcm + jnp.swapaxes(glcm, 1, 2)
     glcm = glcm / jnp.maximum(glcm.sum(axis=(1, 2), keepdims=True), 1.0)

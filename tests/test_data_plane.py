@@ -62,9 +62,10 @@ def test_resample_ratio_near_coprime_snapped():
     """Pitch-shift rates like 16000->17959 are coprime; the exact ratio makes
     resample_poly design O(max(up,down)) FIR taps (~800 ms/clip measured).
     Standard rate pairs must stay exact; near-coprime pairs snap to a
-    bounded-denominator rational within 1.5e-5 relative error."""
-    import time
-
+    bounded-denominator rational within 1.5e-5 relative error. (The ratio
+    bound IS the perf property — resample_poly designs its FIR fresh on
+    every call with O(max(up, down)) taps — so no wall-clock assertion is
+    needed.)"""
     from audio_edge_ml_pipeline_tpu.data.audio_io import _resample_ratio, resample
 
     for orig, target in [(44100, 16000), (48000, 16000), (22050, 16000),
@@ -78,10 +79,7 @@ def test_resample_ratio_near_coprime_snapped():
     assert rel <= 1.5e-5
 
     y = np.random.default_rng(0).standard_normal(16000 * 5).astype(np.float32)
-    resample(y, 16000, 17959)  # warm the FIR cache
-    t0 = time.perf_counter()
     z = resample(y, 16000, 17959)
-    assert time.perf_counter() - t0 < 0.5  # exact ratio measured ~0.8 s
     assert abs(len(z) - 16000 * 5 * 17959 / 16000) <= 2
 
 

@@ -165,6 +165,17 @@ def test_cqt_batch_blocking_matches_direct(batch22k, monkeypatch):
     # only — far inside the 1e-5 feature gate
     assert np.max(np.abs(blocked - direct)) <= 2e-6
 
+    # degenerate-divisor guard: at B=7 with a ~1.4-clip budget the only
+    # divisor of B in [nb, 2nb] is 7 itself (Bb=1 — a sequential per-clip
+    # scan); the guard must reject it in favor of the padded Bb=2 split,
+    # and parity must hold through the extra pad row
+    y7 = np.concatenate([y4, y4[:3]])
+    monkeypatch.setattr(dsp, "_CQT_FRAMES_BUDGET", 512 * 1024 * 1024)
+    direct7 = np.asarray(dsp.cqt_magnitude(jnp.asarray(y7), sr, 512, 84))
+    monkeypatch.setattr(dsp, "_CQT_FRAMES_BUDGET", int(1.4 * T * n_fft))
+    blocked7 = np.asarray(dsp.cqt_magnitude(jnp.asarray(y7), sr, 512, 84))
+    assert np.max(np.abs(blocked7 - direct7)) <= 2e-6
+
 
 def test_waveform_feature_parity(batch16k):
     y, sr = batch16k
