@@ -9,6 +9,19 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# Subprocess robustness: every CLI test's child interpreter inherits
+# os.environ, and the environment's .axon_site sitecustomize dials the TPU
+# tunnel from its register() at interpreter start — observed hanging a
+# child for 20+ min under tunnel congestion even with JAX_PLATFORMS=cpu
+# (the hang is in the PJRT plugin connect, before JAX picks a backend).
+# Drop it from the inherited PYTHONPATH so children start tunnel-free;
+# individual tests that need the repo on the path still set their own.
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p
+    for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if p and "axon_site" not in p
+)
+
 # The environment's sitecustomize imports jax at interpreter start (before
 # conftest), so the env var alone is too late; force the platform through
 # jax.config before any backend is initialized.
