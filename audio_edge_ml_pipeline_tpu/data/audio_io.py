@@ -129,7 +129,8 @@ def probe_audio(path: Path | str) -> dict:
 
 
 _RATIO_EXACT_CAP = 1024  # all standard rate pairs (441/320 etc.) stay exact
-_RATIO_APPROX_DEN = 256  # near-coprime ratios: <= 1.5e-5 rel error (0.03 cent)
+_RATIO_APPROX_DEN = 256  # near-coprime ratios: preferred denominator cap
+_RATIO_REL_TOL = 1.5e-5  # <= 0.03 cent of rate error, always honoured
 
 
 @lru_cache(maxsize=64)
@@ -139,15 +140,26 @@ def _resample_ratio(orig: int, target: int) -> tuple[int, int]:
     coprime, and resample_poly's FIR taps scale with max(up, down) —
     measured 817 ms/clip for a 2-semitone shift at the exact ratio vs
     ~milliseconds at the 0.03-cent approximation. Every standard rate pair
-    (16k/22.05k/44.1k/48k...) reduces under the cap and remains exact."""
+    (16k/22.05k/44.1k/48k...) reduces under the cap and remains exact.
+
+    The denominator cap escalates until the snapped ratio is within
+    _RATIO_REL_TOL of the true one: near-unity ratios (tiny pitch shifts,
+    e.g. 16000/15977) would otherwise snap to 1/1 — a silent no-op resample
+    with ~1e-3 rate error, ~100x the documented bound."""
     gg = math.gcd(int(orig), int(target))
     up, down = int(target) // gg, int(orig) // gg
     if max(up, down) <= _RATIO_EXACT_CAP:
         return up, down
     from fractions import Fraction
 
-    fr = Fraction(int(target), int(orig)).limit_denominator(_RATIO_APPROX_DEN)
-    return fr.numerator, fr.denominator
+    exact = Fraction(int(target), int(orig))
+    cap = _RATIO_APPROX_DEN
+    while cap < max(up, down):
+        fr = exact.limit_denominator(cap)
+        if fr > 0 and abs(fr - exact) / exact <= _RATIO_REL_TOL:
+            return fr.numerator, fr.denominator
+        cap *= 4
+    return up, down
 
 
 def resample(y: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:

@@ -189,6 +189,29 @@ def classical_image_vector(gray: np.ndarray, orientations: int = 9, cell=8,
     return np.concatenate([hog, lbp, hist, glcm]).astype(np.float32)
 
 
+def make_classical_batch_fn(ext):
+    """Jitted (B, H, W) -> (B, D) HOG/LBP/GLCM/hist stack over ``ext``'s
+    descriptor knobs. One shared builder for the image and video classical
+    extractors so the imgdsp knob plumbing cannot drift between modalities;
+    callers cache the result on the extractor (a fresh closure per call =
+    one XLA compile per call)."""
+    import jax
+
+    from ..ops import imgdsp
+
+    return jax.jit(
+        lambda g: imgdsp.classical_image_vector_batch(
+            g,
+            orientations=ext.hog_orientations,
+            cell=ext.hog_pixels_per_cell,
+            block=ext.hog_cells_per_block,
+            lbp_points=ext.lbp_n_points,
+            lbp_radius=ext.lbp_radius,
+            n_hist_bins=ext.n_hist_bins,
+        )
+    )
+
+
 def _pair(v) -> tuple[int, int]:
     if isinstance(v, (int, float)):
         return int(v), int(v)
@@ -237,21 +260,7 @@ class ImageClassicalExtractor(BaseFeatureExtractor):
         """Jitted (B, H, W) -> (B, D) descriptor stack, built once per
         extractor (a fresh closure per call = one XLA compile per call)."""
         if self._batch_fn is None:
-            import jax
-
-            from ..ops import imgdsp
-
-            self._batch_fn = jax.jit(
-                lambda g: imgdsp.classical_image_vector_batch(
-                    g,
-                    orientations=self.hog_orientations,
-                    cell=self.hog_pixels_per_cell,
-                    block=self.hog_cells_per_block,
-                    lbp_points=self.lbp_n_points,
-                    lbp_radius=self.lbp_radius,
-                    n_hist_bins=self.n_hist_bins,
-                )
-            )
+            self._batch_fn = make_classical_batch_fn(self)
         return self._batch_fn
 
     # None = auto: device batch on accelerators, per-sample numpy on CPU

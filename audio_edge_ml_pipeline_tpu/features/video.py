@@ -87,6 +87,7 @@ class VideoClassicalExtractor(BaseFeatureExtractor):
         self.lbp_n_points = lbp_n_points
         self.lbp_radius = lbp_radius
         self.n_hist_bins = n_hist_bins
+        self._batch_fn = None  # jitted once, on first extract_dataset use
 
     def extract(self, sample_path, **_kw) -> np.ndarray:
         frames = _open_and_sample(sample_path, self.max_frames, self.resize_to, gray=True)
@@ -130,22 +131,10 @@ class VideoClassicalExtractor(BaseFeatureExtractor):
     def _batched(self):
         """Jitted per-frame descriptor stack (built once; frames of every
         video in a chunk run as one (videos * max_frames, H, W) batch)."""
-        if getattr(self, "_batch_fn", None) is None:
-            import jax
+        if self._batch_fn is None:
+            from .image import make_classical_batch_fn
 
-            from ..ops import imgdsp
-
-            self._batch_fn = jax.jit(
-                lambda g: imgdsp.classical_image_vector_batch(
-                    g,
-                    orientations=self.hog_orientations,
-                    cell=self.hog_pixels_per_cell,
-                    block=self.hog_cells_per_block,
-                    lbp_points=self.lbp_n_points,
-                    lbp_radius=self.lbp_radius,
-                    n_hist_bins=self.n_hist_bins,
-                )
-            )
+            self._batch_fn = make_classical_batch_fn(self)
         return self._batch_fn
 
     # None = auto: device batch on accelerators only (see

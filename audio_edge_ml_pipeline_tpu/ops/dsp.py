@@ -763,6 +763,13 @@ def _windowed_sum(x: jnp.ndarray, window: int, hop: int) -> jnp.ndarray:
     return out[:, 0, :]
 
 
+def _framed_count(n: int, frame_length: int, hop_length: int) -> int:
+    """librosa frame count over the center-padded signal: even frame_length
+    gives the canonical 1 + n//hop; odd frame_length pads one sample less
+    (2*(frame//2) = frame-1), yielding 1 + (n-1)//hop like util.frame."""
+    return 1 + (n + 2 * (frame_length // 2) - frame_length) // hop_length
+
+
 def zero_crossing_rate(
     y: jnp.ndarray, frame_length: int = 2048, hop_length: int = 512, threshold: float = 1e-10
 ) -> jnp.ndarray:
@@ -773,7 +780,7 @@ def zero_crossing_rate(
     yy = jnp.where(jnp.abs(ypad) <= threshold, 0.0, ypad)
     sb = jnp.signbit(yy)
     cross = jnp.abs(jnp.diff(sb.astype(jnp.float32), axis=1))  # (B, n_pad-1)
-    T = n_frames_for(y.shape[1], hop_length)
+    T = _framed_count(y.shape[1], frame_length, hop_length)
     # crossing counts are 0/1, so a running f32 cumsum stays integral (and
     # exact) up to 2^24 >> any clip length: frame t's count is two gathered
     # prefix sums, not a frame_length-wide windowed conv (which cost more
@@ -789,13 +796,14 @@ def zero_crossing_rate(
 
 def rms(y: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndarray:
     """(B, n) -> (B, T); center=True constant padding, window energy sums."""
-    T = n_frames_for(y.shape[1], hop_length)
+    T = _framed_count(y.shape[1], frame_length, hop_length)
     ypad = jnp.pad(y, ((0, 0), (frame_length // 2, frame_length // 2)))
     sq = ypad * ypad
     if frame_length % hop_length == 0:
         # frame t is exactly hop-blocks [t, t + frame/hop): sum each block
         # once (f32, <= hop addends) and slide-add the r block sums — O(n)
-        # instead of an O(n * frame/hop) frame_length-wide conv
+        # instead of an O(n * frame/hop) frame_length-wide conv. The framed
+        # count guarantees (T-1+r)*hop <= n_pad, so every slice is in range.
         r = frame_length // hop_length
         nb = -(-sq.shape[1] // hop_length)
         sq = jnp.pad(sq, ((0, 0), (0, nb * hop_length - sq.shape[1])))

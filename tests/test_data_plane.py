@@ -83,6 +83,21 @@ def test_resample_ratio_near_coprime_snapped():
     assert abs(len(z) - 16000 * 5 * 17959 / 16000) <= 2
 
 
+def test_resample_ratio_near_unity_not_snapped_to_noop():
+    """Tiny pitch shifts give near-unity coprime ratios (e.g. 16000/15977);
+    a 256-denominator snap would collapse them to 1/1 — a silent no-op
+    resample with ~1e-3 rate error. The cap must escalate until the
+    documented 1.5e-5 bound holds."""
+    from audio_edge_ml_pipeline_tpu.data.audio_io import _resample_ratio
+
+    for orig, target in [(15977, 16000), (16000, 15977), (16023, 16000),
+                         (44101, 44100), (22051, 22050)]:
+        up, down = _resample_ratio(orig, target)
+        assert (up, down) != (1, 1), (orig, target)
+        rel = abs(up / down - target / orig) / (target / orig)
+        assert rel <= 1.5e-5, (orig, target, up, down, rel)
+
+
 def test_fsc22_loader_split_determinism(synth_root):
     from audio_edge_ml_pipeline_tpu.data.loaders import FSC22Loader
 

@@ -195,6 +195,28 @@ def test_classical_vector_parity(batch22k):
     assert rel <= 1e-4, f"classical rel parity {rel:.3e}"
 
 
+def test_rms_zcr_odd_frame_lengths(batch22k):
+    """Odd frame_length pads one sample less than even (2*(frame//2) =
+    frame-1), so the librosa frame count drops when hop divides n. The rms
+    hop-block fast path crashed on this (slice past the block array) and
+    both paths overcounted frames before the round-3 fix."""
+    y, _sr = batch22k
+    y = y[:, :5000]
+    yj = jnp.asarray(y)
+    for frame, hop in [(5, 1), (1023, 341), (255, 51)]:
+        r = np.asarray(dsp.rms(yj, frame, hop))
+        r_ref = np.stack([g.rms(y[i], frame, hop)[0] for i in range(4)])
+        assert r.shape == r_ref.shape, (frame, hop, r.shape, r_ref.shape)
+        assert np.max(np.abs(r - r_ref)) <= 1e-5, (frame, hop)
+    for frame, hop in [(2047, 512), (255, 64)]:
+        z = np.asarray(dsp.zero_crossing_rate(yj, frame_length=frame, hop_length=hop))
+        z_ref = np.stack(
+            [g.zero_crossing_rate(y[i], frame_length=frame, hop_length=hop)[0] for i in range(4)]
+        )
+        assert z.shape == z_ref.shape, (frame, hop, z.shape, z_ref.shape)
+        assert np.max(np.abs(z - z_ref)) <= 1e-6, (frame, hop)
+
+
 def test_classical_vector_group_parity(batch22k):
     """Per-group absolute parity on the [0,1]-ish groups."""
     y, sr = batch22k
