@@ -205,21 +205,35 @@ def _device_batched_dataset(
             return None, label, meta
         return out, label, meta
 
-    with ThreadPoolExecutor(max_workers=workers) as pool:
+    def _process(decoded):
+        # pack + dispatch + fetch on the single-slot device thread: the
+        # main thread decodes chunk k+1 while chunk k computes (depth-1
+        # software pipeline, same shape as BatchedAudioExtractor's loop)
+        return unpack(np.asarray(run(pack(decoded))), decoded)
+
+    def _flush(pending):
+        for vec, (_, label, meta) in zip(pending[0].result(), pending[1]):
+            feats.append(np.asarray(vec, np.float32))
+            metas.append(meta)
+            if label is not None:
+                if label not in label_to_idx:
+                    label_to_idx[label] = len(label_to_idx)
+                labels.append(label_to_idx[label])
+
+    pending = None
+    with ThreadPoolExecutor(max_workers=workers) as pool, \
+            ThreadPoolExecutor(max_workers=1) as device_thread:
         for s in range(0, len(samples), chunk):
             out = list(pool.map(_decode, samples[s : s + chunk]))
             good = [(g, l, m) for g, l, m in out if g is not None]
             if not good:
                 continue
-            decoded = [g for g, _, _ in good]
-            vecs = unpack(np.asarray(run(pack(decoded))), decoded)
-            for vec, (_, label, meta) in zip(vecs, good):
-                feats.append(np.asarray(vec, np.float32))
-                metas.append(meta)
-                if label is not None:
-                    if label not in label_to_idx:
-                        label_to_idx[label] = len(label_to_idx)
-                    labels.append(label_to_idx[label])
+            fut = device_thread.submit(_process, [g for g, _, _ in good])
+            if pending is not None:
+                _flush(pending)
+            pending = (fut, good)
+        if pending is not None:
+            _flush(pending)
     return _collect(feats, labels, metas, label_to_idx, feature_type, modality)
 
 
@@ -403,7 +417,89 @@ class BatchedAudioExtractor(BaseFeatureExtractor):
             except Exception as exc:  # skip-and-continue (reference base.py:203-206)
                 return None, label, meta, (path, exc)
 
-        with ThreadPoolExecutor(max_workers=self.decode_workers) as pool:
+        def process(good):
+            """Pack + device dispatch + fetch for one decoded chunk; runs on
+            the single-slot device thread so the main thread can decode the
+            next chunk while this one computes (depth-1 software pipeline —
+            the fetch in _device_batch blocks, and on the tunneled chip it
+            is the dominant per-chunk cost)."""
+            if tgt is not None:
+                # fixed (batch_size, tgt) shape for every chunk (short
+                # final chunks are zero-row-padded): ONE compiled program
+                # per extractor config instead of one per chunk size
+                rows = len(good)
+                waves = np.zeros((self.batch_size, tgt), np.float32)
+                for j, (y, _, _) in enumerate(good):
+                    waves[j, : len(y)] = y[:tgt]
+                feats = self._device_batch(waves, None).astype(np.float32)[:rows]
+                return list(feats)
+            if self.exact_length_batching:
+                # Group by exact length; each group runs unmasked. Only
+                # valid for extractors whose output shape is length-
+                # independent (flat vectors): framed outputs would be
+                # ragged across groups.
+                if self.frames_for(self.min_samples()) is not None:
+                    raise TypeError(
+                        f"{self.name}: exact_length_batching requires a "
+                        "length-independent output shape (frames_for must return None)"
+                    )
+                feat_per_item = [None] * len(good)
+                groups: dict[int, list[int]] = {}
+                for j, (y, _, _) in enumerate(good):
+                    groups.setdefault(len(y), []).append(j)
+                if len(groups) > 16 and not getattr(self, "_warned_lengths", False):
+                    self._warned_lengths = True
+                    logger.warning(
+                        "%s: %d distinct clip lengths in one batch — each costs an XLA "
+                        "compile. Pass duration=... (pad/trim) to fix the shape.",
+                        self.name, len(groups),
+                    )
+                for length, idxs in sorted(groups.items()):
+                    # pad the batch dim to a fixed size so group-size
+                    # variance does not retrigger compiles per chunk
+                    rows = max(len(idxs), 1)
+                    row_pad = min(self.batch_size, 1 << (rows - 1).bit_length()) - rows
+                    waves = np.zeros((rows + max(row_pad, 0), length), np.float32)
+                    for k, j in enumerate(idxs):
+                        waves[k] = good[j][0]
+                    feats = self._device_batch(waves, None).astype(np.float32)
+                    for k, j in enumerate(idxs):
+                        feat_per_item[j] = feats[k]
+                return feat_per_item
+            # rows fixed at batch_size (pad rows masked via length 0
+            # -> full-length mask is fine: they are sliced away);
+            # sample dim bucketed to 1 s steps
+            max_n = self._pad_bucket(max(len(y) for y, _, _ in good))
+            waves = np.zeros((self.batch_size, max_n), np.float32)
+            lens = np.full(self.batch_size, max_n, np.int32)
+            for j, (y, _, _) in enumerate(good):
+                waves[j, : len(y)] = y
+                lens[j] = len(y)
+            feats = self._device_batch(waves, lens).astype(np.float32)
+            feat_per_item = []
+            for j in range(len(good)):
+                f = feats[j]
+                t = self.frames_for(int(lens[j]))
+                if t is not None:
+                    f = f[..., :t]
+                elif f.ndim == 1 and f.shape[0] == waves.shape[1]:
+                    f = f[: int(lens[j])]  # waveform features
+                feat_per_item.append(f)
+            return feat_per_item
+
+        def flush(pending):
+            feat_per_item = pending[0].result()
+            for feat, (_, label, meta) in zip(feat_per_item, pending[1]):
+                all_features.append(np.ascontiguousarray(feat))
+                all_meta.append(meta)
+                if label is not None:
+                    if label not in label_to_idx:
+                        label_to_idx[label] = len(label_to_idx)
+                    all_labels.append(label_to_idx[label])
+
+        pending = None  # at most ONE chunk in flight on the device thread
+        with ThreadPoolExecutor(max_workers=self.decode_workers) as pool, \
+                ThreadPoolExecutor(max_workers=1) as device_thread:
             for start in range(0, len(samples), self.batch_size):
                 chunk = samples[start : start + self.batch_size]
                 decoded = list(pool.map(decode, chunk))
@@ -413,74 +509,11 @@ class BatchedAudioExtractor(BaseFeatureExtractor):
                         logger.warning("Skipping %s: %s", err[0], err[1])
                 if not good:
                     continue
-                if tgt is not None:
-                    # fixed (batch_size, tgt) shape for every chunk (short
-                    # final chunks are zero-row-padded): ONE compiled program
-                    # per extractor config instead of one per chunk size
-                    rows = len(good)
-                    waves = np.zeros((self.batch_size, tgt), np.float32)
-                    for j, (y, _, _) in enumerate(good):
-                        waves[j, : len(y)] = y[:tgt]
-                    feats = self._device_batch(waves, None).astype(np.float32)[:rows]
-                    feat_per_item = list(feats)
-                elif self.exact_length_batching:
-                    # Group by exact length; each group runs unmasked. Only
-                    # valid for extractors whose output shape is length-
-                    # independent (flat vectors): framed outputs would be
-                    # ragged across groups.
-                    if self.frames_for(self.min_samples()) is not None:
-                        raise TypeError(
-                            f"{self.name}: exact_length_batching requires a "
-                            "length-independent output shape (frames_for must return None)"
-                        )
-                    feat_per_item = [None] * len(good)
-                    groups: dict[int, list[int]] = {}
-                    for j, (y, _, _) in enumerate(good):
-                        groups.setdefault(len(y), []).append(j)
-                    if len(groups) > 16 and not getattr(self, "_warned_lengths", False):
-                        self._warned_lengths = True
-                        logger.warning(
-                            "%s: %d distinct clip lengths in one batch — each costs an XLA "
-                            "compile. Pass duration=... (pad/trim) to fix the shape.",
-                            self.name, len(groups),
-                        )
-                    for length, idxs in sorted(groups.items()):
-                        # pad the batch dim to a fixed size so group-size
-                        # variance does not retrigger compiles per chunk
-                        rows = max(len(idxs), 1)
-                        row_pad = min(self.batch_size, 1 << (rows - 1).bit_length()) - rows
-                        waves = np.zeros((rows + max(row_pad, 0), length), np.float32)
-                        for k, j in enumerate(idxs):
-                            waves[k] = good[j][0]
-                        feats = self._device_batch(waves, None).astype(np.float32)
-                        for k, j in enumerate(idxs):
-                            feat_per_item[j] = feats[k]
-                else:
-                    # rows fixed at batch_size (pad rows masked via length 0
-                    # -> full-length mask is fine: they are sliced away);
-                    # sample dim bucketed to 1 s steps
-                    max_n = self._pad_bucket(max(len(y) for y, _, _ in good))
-                    waves = np.zeros((self.batch_size, max_n), np.float32)
-                    lens = np.full(self.batch_size, max_n, np.int32)
-                    for j, (y, _, _) in enumerate(good):
-                        waves[j, : len(y)] = y
-                        lens[j] = len(y)
-                    feats = self._device_batch(waves, lens).astype(np.float32)
-                    feat_per_item = []
-                    for j in range(len(good)):
-                        f = feats[j]
-                        t = self.frames_for(int(lens[j]))
-                        if t is not None:
-                            f = f[..., :t]
-                        elif f.ndim == 1 and f.shape[0] == waves.shape[1]:
-                            f = f[: int(lens[j])]  # waveform features
-                        feat_per_item.append(f)
-                for j, (y, label, meta) in enumerate(good):
-                    all_features.append(np.ascontiguousarray(feat_per_item[j]))
-                    all_meta.append(meta)
-                    if label is not None:
-                        if label not in label_to_idx:
-                            label_to_idx[label] = len(label_to_idx)
-                        all_labels.append(label_to_idx[label])
+                fut = device_thread.submit(process, good)
+                if pending is not None:
+                    flush(pending)  # chunk k-1 fetches while k computes
+                pending = (fut, good)
+            if pending is not None:
+                flush(pending)
 
         return _collect(all_features, all_labels, all_meta, label_to_idx, self.feature_type, self.modality)
