@@ -202,6 +202,40 @@ def test_variable_length_masked_dataset(synth_root, tmp_path):
     assert np.max(np.abs(fs.features[0] - ref)) <= 1e-5
 
 
+def test_multi_chunk_pipelined_order_and_skip(synth_root, tmp_path):
+    """batch_size < n_samples drives the depth-1 decode/compute software
+    pipeline across several chunks: features must keep loader order, labels
+    must intern in first-occurrence order, and a corrupt file mid-stream is
+    skipped without disturbing either (reference base.py:203-206)."""
+    import shutil
+
+    from audio_edge_ml_pipeline_tpu import features as F
+    from audio_edge_ml_pipeline_tpu.data.loaders import AudioFolderLoader
+
+    root = tmp_path / "chunks"
+    src = sorted((synth_root / "fsc22").rglob("*.wav"))[:6]
+    for c in range(2):
+        d = root / f"c{c}"
+        d.mkdir(parents=True)
+        for i in range(3):
+            shutil.copy(src[3 * c + i], d / f"{i}.wav")
+    (root / "c0" / "1.wav").write_bytes(b"RIFFgarbage")
+    loader = AudioFolderLoader(root)
+    ex = F.get("audio_mel_spec")(duration=2.0)
+    ex.batch_size = 3  # several chunks in flight through the device thread
+    fs = ex.extract_dataset(loader)
+    good = [(p, l) for p, l, _ in loader if not (p.parent.name == "c0" and p.name == "1.wav")]
+    assert fs.features.shape[0] == len(good) == 5
+    per_sample = np.stack([ex.extract(p) for p, _ in good])
+    assert np.max(np.abs(fs.features - per_sample)) <= 1e-6
+    # label interning order = first-occurrence order of the surviving items
+    order, idx = [], {}
+    for _, l in good:
+        idx.setdefault(l, len(idx))
+        order.append(idx[l])
+    assert fs.labels.tolist() == order
+
+
 def test_classical_extract_dataset(synth_root):
     from audio_edge_ml_pipeline_tpu import features as F
     from audio_edge_ml_pipeline_tpu.data.loaders import FSC22Loader
