@@ -165,6 +165,23 @@ def pad_stack(decoded: list[np.ndarray], batch: int) -> np.ndarray:
     return x
 
 
+def _overlap_device(chunks, process):
+    """Depth-1 software pipeline: yield ``(chunk, process(chunk))`` in
+    order, running ``process`` (pack + device dispatch + blocking fetch) on
+    a single-slot device thread. Advancing ``chunks`` — where the caller
+    decodes — happens while the previous chunk computes, so host decode
+    overlaps device work with at most ONE chunk in flight."""
+    with ThreadPoolExecutor(max_workers=1) as device_thread:
+        pending = None
+        for good in chunks:
+            fut = device_thread.submit(process, good)
+            if pending is not None:
+                yield pending[1], pending[0].result()
+            pending = (fut, good)
+        if pending is not None:
+            yield pending[1], pending[0].result()
+
+
 def _device_batched_dataset(
     loader: "BaseDatasetLoader",
     max_samples: Optional[int],
@@ -205,35 +222,27 @@ def _device_batched_dataset(
             return None, label, meta
         return out, label, meta
 
-    def _process(decoded):
-        # pack + dispatch + fetch on the single-slot device thread: the
-        # main thread decodes chunk k+1 while chunk k computes (depth-1
-        # software pipeline, same shape as BatchedAudioExtractor's loop)
+    def _process(good):
+        decoded = [g for g, _, _ in good]
         return unpack(np.asarray(run(pack(decoded))), decoded)
 
-    def _flush(pending):
-        for vec, (_, label, meta) in zip(pending[0].result(), pending[1]):
-            feats.append(np.asarray(vec, np.float32))
-            metas.append(meta)
-            if label is not None:
-                if label not in label_to_idx:
-                    label_to_idx[label] = len(label_to_idx)
-                labels.append(label_to_idx[label])
+    with ThreadPoolExecutor(max_workers=workers) as pool:
 
-    pending = None
-    with ThreadPoolExecutor(max_workers=workers) as pool, \
-            ThreadPoolExecutor(max_workers=1) as device_thread:
-        for s in range(0, len(samples), chunk):
-            out = list(pool.map(_decode, samples[s : s + chunk]))
-            good = [(g, l, m) for g, l, m in out if g is not None]
-            if not good:
-                continue
-            fut = device_thread.submit(_process, [g for g, _, _ in good])
-            if pending is not None:
-                _flush(pending)
-            pending = (fut, good)
-        if pending is not None:
-            _flush(pending)
+        def _chunks():
+            for s in range(0, len(samples), chunk):
+                out = list(pool.map(_decode, samples[s : s + chunk]))
+                good = [(g, l, m) for g, l, m in out if g is not None]
+                if good:
+                    yield good
+
+        for good, vecs in _overlap_device(_chunks(), _process):
+            for vec, (_, label, meta) in zip(vecs, good):
+                feats.append(np.asarray(vec, np.float32))
+                metas.append(meta)
+                if label is not None:
+                    if label not in label_to_idx:
+                        label_to_idx[label] = len(label_to_idx)
+                    labels.append(label_to_idx[label])
     return _collect(feats, labels, metas, label_to_idx, feature_type, modality)
 
 
@@ -487,33 +496,25 @@ class BatchedAudioExtractor(BaseFeatureExtractor):
                 feat_per_item.append(f)
             return feat_per_item
 
-        def flush(pending):
-            feat_per_item = pending[0].result()
-            for feat, (_, label, meta) in zip(feat_per_item, pending[1]):
-                all_features.append(np.ascontiguousarray(feat))
-                all_meta.append(meta)
-                if label is not None:
-                    if label not in label_to_idx:
-                        label_to_idx[label] = len(label_to_idx)
-                    all_labels.append(label_to_idx[label])
+        with ThreadPoolExecutor(max_workers=self.decode_workers) as pool:
 
-        pending = None  # at most ONE chunk in flight on the device thread
-        with ThreadPoolExecutor(max_workers=self.decode_workers) as pool, \
-                ThreadPoolExecutor(max_workers=1) as device_thread:
-            for start in range(0, len(samples), self.batch_size):
-                chunk = samples[start : start + self.batch_size]
-                decoded = list(pool.map(decode, chunk))
-                good = [(y, l, m) for y, l, m, err in decoded if y is not None]
-                for y, l, m, err in decoded:
-                    if err is not None:
-                        logger.warning("Skipping %s: %s", err[0], err[1])
-                if not good:
-                    continue
-                fut = device_thread.submit(process, good)
-                if pending is not None:
-                    flush(pending)  # chunk k-1 fetches while k computes
-                pending = (fut, good)
-            if pending is not None:
-                flush(pending)
+            def chunks():
+                for start in range(0, len(samples), self.batch_size):
+                    decoded = list(pool.map(decode, samples[start : start + self.batch_size]))
+                    for y, l, m, err in decoded:
+                        if err is not None:
+                            logger.warning("Skipping %s: %s", err[0], err[1])
+                    good = [(y, l, m) for y, l, m, err in decoded if y is not None]
+                    if good:
+                        yield good
+
+            for good, feat_per_item in _overlap_device(chunks(), process):
+                for feat, (_, label, meta) in zip(feat_per_item, good):
+                    all_features.append(np.ascontiguousarray(feat))
+                    all_meta.append(meta)
+                    if label is not None:
+                        if label not in label_to_idx:
+                            label_to_idx[label] = len(label_to_idx)
+                        all_labels.append(label_to_idx[label])
 
         return _collect(all_features, all_labels, all_meta, label_to_idx, self.feature_type, self.modality)
