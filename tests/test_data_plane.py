@@ -236,6 +236,27 @@ def test_multi_chunk_pipelined_order_and_skip(synth_root, tmp_path):
     assert fs.labels.tolist() == order
 
 
+def test_overlap_device_order_and_errors():
+    """The shared depth-1 overlap driver yields results in chunk order and
+    re-raises a process() failure instead of swallowing it in the future."""
+    from audio_edge_ml_pipeline_tpu.features.base import _overlap_device
+
+    out = list(_overlap_device(iter(range(7)), lambda c: c * 10))
+    assert out == [(c, c * 10) for c in range(7)]
+    assert list(_overlap_device(iter([]), lambda c: c)) == []
+
+    def boom(c):
+        if c == 2:
+            raise RuntimeError("chunk 2 failed")
+        return c
+
+    seen = []
+    with pytest.raises(RuntimeError, match="chunk 2 failed"):
+        for chunk, res in _overlap_device(iter(range(5)), boom):
+            seen.append(res)
+    assert seen == [0, 1]  # everything before the failing chunk was flushed
+
+
 def test_classical_extract_dataset(synth_root):
     from audio_edge_ml_pipeline_tpu import features as F
     from audio_edge_ml_pipeline_tpu.data.loaders import FSC22Loader
