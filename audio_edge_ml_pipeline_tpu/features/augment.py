@@ -89,6 +89,23 @@ AUGMENTORS = {
 }
 
 
+def validate_aug_specs(aug_specs: list[dict], where: str = "augmentations") -> None:
+    """Fail fast on unknown types OR unknown parameters: a bad kwarg would
+    otherwise TypeError per-file mid-run after hours of valid output."""
+    import inspect
+
+    for spec in aug_specs:
+        aug_type = spec.get("type")
+        if aug_type not in AUGMENTORS:
+            raise ValueError(f"Unknown augmentation type {aug_type!r} in {where}. Valid: {sorted(AUGMENTORS)}")
+        valid = set(inspect.signature(AUGMENTORS[aug_type]).parameters) - {"y", "sr", "rng"}
+        extra = set(spec) - {"type"} - valid
+        if extra:
+            raise ValueError(
+                f"{where}: {aug_type} got unknown parameter(s) {sorted(extra)}; valid: {sorted(valid)}"
+            )
+
+
 def apply_augmentations(y: np.ndarray, sr: int, aug_specs: list[dict], rng: np.random.Generator) -> np.ndarray:
     out = y.copy()
     for spec in aug_specs:
@@ -126,6 +143,9 @@ def load_config(path: Path) -> dict:
     cfg.setdefault("loader", "audio_folder")
     cfg.setdefault("split", "train")
     cfg.setdefault("level_match_db", 0.0)
+    validate_aug_specs(cfg["augmentations"])
+    for cls, override in (cfg["class_overrides"] or {}).items():
+        validate_aug_specs(override.get("augmentations", []), where=f"class_overrides[{cls!r}]")
     return cfg
 
 
@@ -141,9 +161,12 @@ def _iter_samples(cfg: dict):
         for path, class_name, _ in loader:
             yield path, class_name
     elif loader_name == "audio_folder":
-        root = Path(cfg.get("audio_folder") or cfg.get("dataset") or "")
-        if not str(root):
+        raw_root = cfg.get("audio_folder") or cfg.get("dataset")
+        if not raw_root:
+            # (guarding the raw value: Path("") stringifies to "." — a
+            # truthy CWD scan that silently augments 0 files)
             raise ValueError("augmentation.yaml must include 'audio_folder' when loader=audio_folder.")
+        root = Path(raw_root)
         allowed = None
         if cfg.get("manifest"):
             manifest = json.loads(Path(cfg["manifest"]).read_text())
@@ -173,6 +196,12 @@ def run(cfg: dict) -> None:
     rng = np.random.default_rng(int(cfg["seed"]))
     output_dir.mkdir(parents=True, exist_ok=True)
     samples = list(_iter_samples(cfg))
+    if not samples:
+        logger.warning(
+            "No input files found (loader=%r, root=%r, split=%r) — check the "
+            "path and any manifest filter.",
+            cfg["loader"], cfg.get("audio_folder") or cfg.get("dataset"), cfg.get("split"),
+        )
     logger.info("Augmenting %d files x %d copies -> %s", len(samples), n_augments, output_dir)
 
     n_orig = 0

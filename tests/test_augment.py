@@ -60,6 +60,36 @@ def test_simple_augmentors():
     np.testing.assert_allclose(scaled, 0.5 * y, atol=1e-6)
 
 
+def test_config_fails_fast_on_bad_specs(tmp_path):
+    """Unknown kwargs and missing roots fail at config load, not per-file
+    mid-run (a bad kwarg would TypeError after hours of valid output; a
+    missing audio_folder key used to Path('')->'.'-scan the CWD and
+    silently augment 0 files)."""
+    import pytest
+
+    from audio_edge_ml_pipeline_tpu.features.augment import _iter_samples, load_config
+
+    bad_kwarg = tmp_path / "bad_kwarg.yaml"
+    bad_kwarg.write_text(
+        "output_dir: /tmp/x\naugmentations:\n  - type: pitch_shift\n    n_steps: 2\n"
+    )
+    with pytest.raises(ValueError, match="pitch_shift got unknown parameter.*n_steps.*max_steps"):
+        load_config(bad_kwarg)
+
+    bad_override = tmp_path / "bad_override.yaml"
+    bad_override.write_text(
+        "output_dir: /tmp/x\naugmentations: []\n"
+        "class_overrides:\n  rain:\n    augmentations:\n      - type: gaussian_noise\n        snr_db: 10\n"
+    )
+    with pytest.raises(ValueError, match="class_overrides\\['rain'\\]: gaussian_noise"):
+        load_config(bad_override)
+
+    no_root = tmp_path / "no_root.yaml"
+    no_root.write_text("output_dir: /tmp/x\naugmentations: [{type: polarity_inversion}]\n")
+    with pytest.raises(ValueError, match="must include 'audio_folder'"):
+        list(_iter_samples(load_config(no_root)))
+
+
 def test_augment_cli(tmp_path):
     import os
 
