@@ -60,6 +60,36 @@ def test_simple_augmentors():
     np.testing.assert_allclose(scaled, 0.5 * y, atol=1e-6)
 
 
+def test_parallel_augment_is_deterministic(tmp_path):
+    """The threaded stage must be a pure function of (config, file list):
+    per-file child seeds are spawned sequentially from the config seed, so
+    worker count and completion order cannot change any output byte."""
+    from audio_edge_ml_pipeline_tpu.data.audio_io import write_wav
+    from audio_edge_ml_pipeline_tpu.features.augment import load_config, run
+
+    src = tmp_path / "src"
+    rng = np.random.default_rng(3)
+    for c in ("a", "b"):
+        d = src / c
+        d.mkdir(parents=True)
+        for i in range(3):
+            write_wav(d / f"{i}.wav", rng.standard_normal(8000).astype(np.float32) * 0.3, 16000)
+
+    outs = []
+    for workers in (1, 8):
+        out = tmp_path / f"out_w{workers}"
+        cfg = tmp_path / f"w{workers}.yaml"
+        cfg.write_text(
+            f"loader: audio_folder\naudio_folder: {src}\noutput_dir: {out}\n"
+            f"n_augments: 2\nworkers: {workers}\nseed: 11\n"
+            "augmentations:\n  - type: gaussian_noise\n  - type: time_shift\n  - type: volume_scale\n"
+        )
+        run(load_config(cfg))
+        outs.append({p.relative_to(out): p.read_bytes() for p in sorted(out.rglob("*.wav"))})
+    assert outs[0].keys() == outs[1].keys() and len(outs[0]) == 18
+    assert all(outs[0][k] == outs[1][k] for k in outs[0])
+
+
 def test_config_fails_fast_on_bad_specs(tmp_path):
     """Unknown kwargs and missing roots fail at config load, not per-file
     mid-run (a bad kwarg would TypeError after hours of valid output; a
