@@ -162,9 +162,10 @@ class BiLSTMModule(nn.Module):
     n_classes: int
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, dropout_rate=None):
+        rate = self.dropout if dropout_rate is None else dropout_rate
         for i in range(self.n_layers):
-            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+            x = _dropout(self, x, rate, train)
             fwd = nn.RNN(nn.OptimizedLSTMCell(self.units))(x)
             bwd = nn.RNN(nn.OptimizedLSTMCell(self.units), reverse=True, keep_order=True)(x)
             if i < self.n_layers - 1:
@@ -172,7 +173,7 @@ class BiLSTMModule(nn.Module):
             else:
                 x = jnp.concatenate([fwd[:, -1, :], bwd[:, 0, :]], axis=-1)
         x = nn.relu(nn.Dense(64)(x))
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = _dropout(self, x, rate, train)
         return nn.Dense(self.n_classes)(x)
 
 
@@ -184,22 +185,23 @@ class TransformerModule(nn.Module):
     n_classes: int
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, dropout_rate=None):
+        rate = self.dropout if dropout_rate is None else dropout_rate
         d = x.shape[-1]
         key_dim = max(1, d // self.num_heads)
         for _ in range(self.n_blocks):
             attn = nn.MultiHeadDotProductAttention(
                 num_heads=self.num_heads, qkv_features=key_dim * self.num_heads, out_features=d
             )(x, x)
-            attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+            attn = _dropout(self, attn, rate, train)
             x = nn.LayerNorm(epsilon=1e-6)(x + attn)
             ff = nn.relu(nn.Dense(self.ff_dim)(x))
             ff = nn.Dense(d)(ff)
-            ff = nn.Dropout(self.dropout, deterministic=not train)(ff)
+            ff = _dropout(self, ff, rate, train)
             x = nn.LayerNorm(epsilon=1e-6)(x + ff)
         x = jnp.mean(x, axis=1)  # GAP1D
         x = nn.relu(nn.Dense(64)(x))
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = _dropout(self, x, rate, train)
         return nn.Dense(self.n_classes)(x)
 
 

@@ -365,7 +365,12 @@ def _tune_deep(run_cfg: dict, default_cfg: dict) -> Optional[dict]:
                 return True
             return False
 
-        trainer = get_model(model_name)(epochs=sweep_epochs, **trial_params)
+        # sweep_epochs is THE trial budget (reference tune.py:515-574 trains
+        # every trial for sweep_epochs); a sampled/fixed `epochs` would
+        # collide with the kwarg and is deferred to post-study training
+        trainer = get_model(model_name)(
+            epochs=sweep_epochs, **{k: v for k, v in trial_params.items() if k != "epochs"}
+        )
         with tracking.start_run(run_name=trial_run_name) as active_run:
             active_run.log_param("optuna_trial", trial_num)
             active_run.log_param("features_dir", str(features_dir))

@@ -40,13 +40,16 @@ logger = logging.getLogger(__name__)
 # knobs trainable as runtime vectors inside one compiled program
 VMAPPED = ("learning_rate", "dropout")
 # model families whose modules accept a traced dropout_rate
-BATCHABLE_MODELS = {"cnn", "mlp", "ds_cnn"}
+BATCHABLE_MODELS = {"cnn", "mlp", "ds_cnn", "rnn", "transformer"}
 
 
 def shape_key(params: dict) -> tuple:
-    """Hashable signature of every shape/trace-affecting knob."""
+    """Hashable signature of every shape/trace-affecting knob. `epochs` is
+    excluded like the vmapped knobs: every sweep trial trains sweep_epochs
+    regardless (a sampled epochs applies only after the study), so it must
+    not split otherwise-identical trials into separate compiled groups."""
     return tuple(sorted((k, json.dumps(v, sort_keys=True))
-                        for k, v in params.items() if k not in VMAPPED))
+                        for k, v in params.items() if k not in VMAPPED and k != "epochs"))
 
 
 def _group_norm_stats(X: np.ndarray):
@@ -157,7 +160,9 @@ def train_trial_group(
             # shards evenly; padded results are sliced off below
             draws = list(draws) + [draws[-1]] * pad
     k = len(draws)
-    proto = get_model(model_name)(epochs=sweep_epochs, **draws[0])
+    proto = get_model(model_name)(
+        epochs=sweep_epochs, **{kk: v for kk, v in draws[0].items() if kk != "epochs"}
+    )
     X = proto._prepare_input(np.asarray(X_train)).astype(np.float32)
     Xv = proto._prepare_input(np.asarray(X_val)).astype(np.float32)
     y = np.asarray(y_train).astype(np.int32)

@@ -47,6 +47,40 @@ def test_train_trial_group_distinct_hypers(data):
     assert res[0]["val_accuracy"] > res[1]["val_accuracy"] + 0.1
 
 
+def test_sampled_epochs_does_not_collide(data):
+    """A search space may sample `epochs` (reference DSL allows any ctor
+    knob); the sweep budget is sweep_epochs, so the sampled value must be
+    deferred, not passed twice to the trainer ctor (was: TypeError 'multiple
+    values for epochs' failed the whole trial group), and must not split
+    otherwise-identical draws into separate shape groups."""
+    X, y, Xv, yv, K = data
+    draws = [{"filters": [8], "batch_size": 32, "learning_rate": 1e-3,
+              "dropout": 0.1, "epochs": e} for e in (10, 20)]
+    assert tb.shape_key(draws[0]) == tb.shape_key(draws[1])
+    res = tb.train_trial_group("cnn", draws, X, y, Xv, yv, K, sweep_epochs=2, seed=1)
+    assert len(res) == 2 and all(len(r["history"]) == 2 for r in res)
+
+
+def test_rnn_and_transformer_groups_batch(data):
+    """Round-3 extension: every deep family whose module takes a traced
+    dropout_rate batches — including the sequence models. The sane-lr trial
+    must beat the crippled-lr one within each vmapped group, proving the
+    per-trial lr vector applies through nn.RNN scans and attention blocks."""
+    X, y, Xv, yv, K = data
+    draws = [{"units": 16, "n_layers": 1, "batch_size": 32,
+              "learning_rate": lr, "dropout": 0.1} for lr in (5e-3, 1e-6)]
+    res = tb.train_trial_group("rnn", draws, X, y, Xv, yv, K, sweep_epochs=8, seed=1)
+    assert len(res) == 2 and len(res[0]["history"]) == 8
+    assert res[0]["val_accuracy"] > res[1]["val_accuracy"]
+    assert "rnn" in tb.BATCHABLE_MODELS and "transformer" in tb.BATCHABLE_MODELS
+
+    draws = [{"num_heads": 2, "ff_dim": 32, "n_blocks": 1, "batch_size": 32,
+              "learning_rate": lr, "dropout": 0.1} for lr in (5e-3, 1e-6)]
+    res = tb.train_trial_group("transformer", draws, X, y, Xv, yv, K, sweep_epochs=8, seed=1)
+    assert len(res) == 2
+    assert res[0]["val_accuracy"] > res[1]["val_accuracy"]
+
+
 def test_runner_cache_reused_across_calls(data):
     X, y, Xv, yv, K = data
     draws = [{"filters": [8], "batch_size": 32, "learning_rate": 1e-3, "dropout": 0.1}]
