@@ -195,6 +195,24 @@ def test_classical_vector_parity(batch22k):
     assert rel <= 1e-4, f"classical rel parity {rel:.3e}"
 
 
+def test_stft_spectrum_conv_branch_parity(batch22k):
+    """Odd n_fft and non-constant pad modes cannot take the folded
+    half-size GEMMs (no symmetric fold) and route through the strided-conv
+    DFT basis — pin that branch against the float64 oracle so the round-3
+    even-fold rewrite can't silently break it."""
+    y, _sr = batch22k
+    y = y[:, :8000]
+    yj = jnp.asarray(y)
+    for n_fft, hop, pad in [(511, 256, "constant"), (512, 256, "edge")]:
+        S = np.asarray(dsp.stft_spectrum(yj, n_fft, hop, power=1.0, pad_mode=pad))
+        ref = np.stack([np.abs(g.stft(y[i], n_fft, hop, pad_mode=pad)) for i in range(4)])
+        assert S.shape == ref.shape, (n_fft, pad, S.shape, ref.shape)
+        # raw magnitude spans orders of magnitude; gate relative to the
+        # per-clip peak like the primary stft parity tests
+        scale = ref.max(axis=(1, 2), keepdims=True)
+        assert np.max(np.abs(S - ref) / scale) <= 1e-6, (n_fft, pad)
+
+
 def test_rms_zcr_odd_frame_lengths(batch22k):
     """Odd frame_length pads one sample less than even (2*(frame//2) =
     frame-1), so the librosa frame count drops when hop divides n. The rms
