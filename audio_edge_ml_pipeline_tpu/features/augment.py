@@ -95,6 +95,11 @@ def validate_aug_specs(aug_specs: list[dict], where: str = "augmentations") -> N
     import inspect
 
     for spec in aug_specs:
+        if not isinstance(spec, dict):
+            raise ValueError(
+                f"{where}: each augmentation must be a mapping with a 'type' key, "
+                f"got {spec!r} (write '- type: {spec}' instead of '- {spec}')"
+            )
         aug_type = spec.get("type")
         if aug_type not in AUGMENTORS:
             raise ValueError(f"Unknown augmentation type {aug_type!r} in {where}. Valid: {sorted(AUGMENTORS)}")
@@ -138,8 +143,10 @@ def load_config(path: Path) -> dict:
     cfg.setdefault("preserve_length", True)
     cfg.setdefault("seed", 42)
     cfg.setdefault("sample_rate", None)
-    cfg.setdefault("augmentations", [])
-    cfg.setdefault("class_overrides", {})
+    # normalize None (an empty 'augmentations:'/'class_overrides:' yaml key
+    # parses as null) so downstream .get()/iteration can't AttributeError
+    cfg["augmentations"] = cfg.get("augmentations") or []
+    cfg["class_overrides"] = cfg.get("class_overrides") or {}
     cfg.setdefault("loader", "audio_folder")
     cfg.setdefault("split", "train")
     cfg.setdefault("level_match_db", 0.0)
@@ -244,6 +251,20 @@ def run(cfg: dict) -> None:
     # file gets its own child seed spawned SEQUENTIALLY from the config
     # seed, so the output is a pure function of (config, file list)
     # regardless of worker count or completion order.
+    # Distinct source files mapping to one output path (same stem in one
+    # class, e.g. '0.wav' + '0.WAV') were a silent serial overwrite and
+    # would be a scheduling-dependent write race under the pool — reject
+    # them so the byte-identical-at-any-worker-count contract holds.
+    by_out: dict[tuple, Path] = {}
+    for path, class_name in samples:
+        key = (class_name, path.stem)
+        prev = by_out.setdefault(key, path)
+        if prev != path:
+            raise ValueError(
+                f"two inputs write the same output {class_name}/{path.stem}.wav: "
+                f"{prev} and {path}; rename one"
+            )
+
     child_seeds = np.random.SeedSequence(int(cfg["seed"])).spawn(len(samples))
     tasks = [
         (
@@ -254,7 +275,12 @@ def run(cfg: dict) -> None:
         for (path, class_name), child in zip(samples, child_seeds)
     ]
 
-    workers = min(int(cfg.get("workers", 8)), max(len(tasks), 1))
+    import os
+
+    # same cpu_count-capped default as load_config, so a programmatic cfg
+    # that skips load_config cannot oversubscribe a small host
+    workers = min(int(cfg.get("workers") or min(8, os.cpu_count() or 1)),
+                  max(len(tasks), 1))
     if workers > 1:
         from concurrent.futures import ProcessPoolExecutor
 

@@ -346,6 +346,13 @@ def _tune_deep(run_cfg: dict, default_cfg: dict) -> Optional[dict]:
         pruner=pruner_map.get(pruner_name, pruner_map["median"])(), study_name=run_label,
     )
     trial_records: dict[int, dict] = {}
+    refit_mode = {"on": False}
+    if "epochs" in (search_space or {}):
+        logger.info(
+            "[%s] search space samples `epochs`: sweep trials still train "
+            "sweep_epochs=%d (reference contract); the sampled value applies "
+            "at the winner refit", run_label, sweep_epochs,
+        )
 
     def objective(trial: search.Trial) -> float:
         sampled = sample_search_space(trial, search_space) if search_space else {}
@@ -366,10 +373,11 @@ def _tune_deep(run_cfg: dict, default_cfg: dict) -> Optional[dict]:
             return False
 
         # sweep_epochs is THE trial budget (reference tune.py:515-574 trains
-        # every trial for sweep_epochs); a sampled/fixed `epochs` would
-        # collide with the kwarg and is deferred to post-study training
+        # every trial for sweep_epochs); a sampled/fixed `epochs` applies
+        # only when the winner is refit for its artifacts (refit_mode)
+        fit_epochs = int(trial_params.get("epochs", sweep_epochs)) if refit_mode["on"] else sweep_epochs
         trainer = get_model(model_name)(
-            epochs=sweep_epochs, **{k: v for k, v in trial_params.items() if k != "epochs"}
+            epochs=fit_epochs, **{k: v for k, v in trial_params.items() if k != "epochs"}
         )
         with tracking.start_run(run_name=trial_run_name) as active_run:
             active_run.log_param("optuna_trial", trial_num)
@@ -441,6 +449,7 @@ def _tune_deep(run_cfg: dict, default_cfg: dict) -> Optional[dict]:
             best = study.best_trial
             refit_trial = search.Trial(study, best)  # params preset -> same draw
             saved_pruner, study.pruner = study.pruner, search.NopPruner()
+            refit_mode["on"] = True  # a sampled `epochs` applies here
             try:
                 objective(refit_trial)  # fills trial_records[best.number]
             except Exception as exc:
@@ -448,6 +457,7 @@ def _tune_deep(run_cfg: dict, default_cfg: dict) -> Optional[dict]:
                                run_label, exc)
             finally:
                 study.pruner = saved_pruner
+                refit_mode["on"] = False
     else:
         logger.info(
             "[%s] TPE study: %d trial(s)  pruner=%s  epochs/trial=%d",

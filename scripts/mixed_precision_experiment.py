@@ -49,7 +49,7 @@ class CNN(nn.Module):
         return nn.Dense(self.n_classes, dtype=self.dtype)(x).astype(jnp.float32)
 
 
-def build_epoch(module, optimizer, steps):
+def build_epoch(module, optimizer):
     def loss_fn(p, x, y, key):
         logits = module.apply({"params": p}, x, train=True, rngs={"dropout": key})
         return jnp.mean(optax.softmax_cross_entropy_with_integer_labels(logits, y))
@@ -111,7 +111,7 @@ def main(argv=None):
         module = CNN(dtype=dtype)
         params = module.init(jax.random.PRNGKey(1), jnp.zeros((1, *mel_shape), X.dtype), train=True)["params"]
         opt_state = optimizer.init(params)
-        run_epoch = build_epoch(module, optimizer, steps)
+        run_epoch = build_epoch(module, optimizer)
         key = jax.random.PRNGKey(2)
         fn = lambda: run_epoch(params, opt_state, X, y, idx_mat, key)[2]
         fn().block_until_ready()  # compile

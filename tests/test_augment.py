@@ -119,6 +119,39 @@ def test_config_fails_fast_on_bad_specs(tmp_path):
     with pytest.raises(ValueError, match="must include 'audio_folder'"):
         list(_iter_samples(load_config(no_root)))
 
+    bare_string = tmp_path / "bare.yaml"
+    bare_string.write_text("output_dir: /tmp/x\naugmentations: [gaussian_noise]\n")
+    with pytest.raises(ValueError, match="must be a mapping with a 'type' key"):
+        load_config(bare_string)
+
+    # empty yaml keys parse as null and must normalize, not AttributeError
+    nulls = tmp_path / "nulls.yaml"
+    nulls.write_text("output_dir: /tmp/x\naugmentations:\nclass_overrides:\n")
+    cfg = load_config(nulls)
+    assert cfg["augmentations"] == [] and cfg["class_overrides"] == {}
+
+
+def test_same_stem_inputs_rejected(tmp_path):
+    """Two inputs mapping to one output path were a silent serial overwrite
+    and would race under the process pool — run() must reject them."""
+    import pytest
+
+    from audio_edge_ml_pipeline_tpu.data.audio_io import write_wav
+    from audio_edge_ml_pipeline_tpu.features.augment import load_config, run
+
+    src = tmp_path / "src" / "dog"
+    src.mkdir(parents=True)
+    y = np.zeros(4000, np.float32)
+    write_wav(src / "0.wav", y, 16000)
+    write_wav(src / "0.WAV", y, 16000)
+    cfg = tmp_path / "aug.yaml"
+    cfg.write_text(
+        f"loader: audio_folder\naudio_folder: {tmp_path / 'src'}\n"
+        f"output_dir: {tmp_path / 'out'}\naugmentations: [{{type: polarity_inversion}}]\n"
+    )
+    with pytest.raises(ValueError, match="same output dog/0.wav"):
+        run(load_config(cfg))
+
 
 def test_augment_cli(tmp_path):
     import os

@@ -232,6 +232,7 @@ runs:
       hidden_units: [[8], [16]]
       learning_rate: {{type: loguniform, low: 0.001, high: 0.02}}
       dropout: {{type: float, low: 0.0, high: 0.3}}
+      epochs: [7]
 """
     )
     r = subprocess.run(
@@ -239,6 +240,10 @@ runs:
         capture_output=True, text=True, cwd=tmp_path, env=_cpu_env(),
     )
     assert r.returncode == 0, r.stderr
+    # sampled `epochs` must not collide with the sweep budget (was a
+    # TypeError failing every trial); sweep trains sweep_epochs, the
+    # winner refit honors the sampled value
+    assert "search space samples `epochs`" in r.stderr
     summary = json.loads((out / "mlp" / "trial_summary.json").read_text())
     assert summary["n_trials"] == 4 and summary["n_completed"] >= 1
     # EVERY completed trial is recorded in the summary, not just the winner
