@@ -223,5 +223,38 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def _watchdog(seconds: float | None = None):
+    """Emit an honest zero-score JSON line and hard-exit if the run wedges.
+
+    The tunneled backend has measured multi-hour unreachable windows where
+    even `import jax; jax.devices()` never returns (CLAUDE.md tunnel
+    pathologies) — without a watchdog the bench would hang silently past
+    any driver timeout instead of recording WHY there is no number. The
+    default 55 min is ~5x a healthy cold-cache TPU run (compiles included)
+    and above a congested-but-alive one; override with BENCH_WATCHDOG_S
+    (a 1-core CPU smoke run needs more)."""
+    import os
+    import threading
+
+    if seconds is None:
+        seconds = float(os.environ.get("BENCH_WATCHDOG_S", 3300))
+
+    def fire():
+        print(json.dumps({
+            "metric": "fsc22 mel+CNN clips/sec/chip", "value": 0.0,
+            "unit": "clips/s", "vs_baseline": 0.0,
+            "error": f"watchdog: no result within {seconds:.0f}s — backend "
+                     "unreachable or pathologically congested",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 if __name__ == "__main__":
+    _wd = _watchdog()
     main()
+    _wd.cancel()
