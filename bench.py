@@ -223,6 +223,48 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def _await_backend(budget_s: float | None = None, probe_timeout: float = 150.0,
+                   interval: float = 120.0) -> bool:
+    """Wait (bounded) for the backend to answer before dispatching the bench.
+
+    The tunneled TPU has measured multi-hour dead windows (CLAUDE.md tunnel
+    pathologies) that can end mid-window; probing in KILLABLE subprocesses —
+    an in-process wedged jax call cannot be interrupted — converts a
+    "tunnel dead at bench start but back 10 minutes later" run into a real
+    score instead of a watchdog zero. Healthy backends (CPU smoke runs, a
+    live chip) pass the first probe in seconds-to-a-minute. Returns False
+    if the budget is exhausted without one healthy probe."""
+    import os
+    import subprocess
+    import sys
+
+    if budget_s is None:
+        budget_s = float(os.environ.get("BENCH_HEALTH_BUDGET_S", 1800))
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "(jnp.ones((256,256)) @ jnp.ones((256,256))).block_until_ready()"
+    )
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", code], timeout=probe_timeout,
+                               capture_output=True, text=True)
+            ok = r.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            if attempt > 1:
+                print(f"backend healthy after {attempt} probes", file=sys.stderr)
+            return True
+        if time.monotonic() + interval >= deadline:
+            return False
+        print(f"backend probe {attempt} failed; retrying in {interval:.0f}s",
+              file=sys.stderr)
+        time.sleep(interval)
+
+
 def _watchdog(seconds: float | None = None):
     """Emit an honest zero-score JSON line and hard-exit if the run wedges.
 
@@ -256,5 +298,13 @@ def _watchdog(seconds: float | None = None):
 
 if __name__ == "__main__":
     _wd = _watchdog()
+    if not _await_backend():
+        print(json.dumps({
+            "metric": "fsc22 mel+CNN clips/sec/chip", "value": 0.0,
+            "unit": "clips/s", "vs_baseline": 0.0,
+            "error": "backend unreachable for the entire pre-flight health "
+                     "budget (BENCH_HEALTH_BUDGET_S) — bench not dispatched",
+        }), flush=True)
+        raise SystemExit(3)
     main()
     _wd.cancel()
