@@ -265,3 +265,48 @@ def test_tracking_nested_runs_finalize_correctly(tmp_path):
     assert tracking.active_run() is None
     finished = {r.run_name for r in tracking.search_runs("nested", status="FINISHED")}
     assert finished == {"outer", "inner"}
+
+
+def _load_bench():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench_mod", REPO / "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bench_backend_gate_healthy_and_exhausted():
+    """Pre-flight gate: a healthy backend passes on the first killable
+    subprocess probe; an unreachable one exhausts the budget and returns
+    False instead of wedging in-process (CLAUDE.md tunnel pathologies)."""
+    bench = _load_bench()
+    assert bench._await_backend(budget_s=300) is True
+    # force every probe to time out: even a healthy CPU probe cannot
+    # finish inside 0.2 s, so the budget is exhausted deterministically
+    assert bench._await_backend(budget_s=4, probe_timeout=0.2, interval=1) is False
+
+
+def test_bench_gate_failure_emits_honest_zero(tmp_path):
+    """`python bench.py` with an unreachable backend prints the one-line
+    zero-score JSON contract and exits 3 — the driver records WHY there is
+    no number instead of a hang (simulated by shadowing jax with a module
+    that raises at import, which kills every probe subprocess)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    (tmp_path / "jax.py").write_text("raise RuntimeError('simulated dead backend')\n")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{tmp_path}{os.pathsep}" + env.get("PYTHONPATH", "")
+    env["BENCH_HEALTH_BUDGET_S"] = "3"
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env, capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    assert proc.returncode == 3
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["value"] == 0.0 and result["vs_baseline"] == 0.0
+    assert "unreachable" in result["error"]
+    assert result["metric"] == "fsc22 mel+CNN clips/sec/chip"
