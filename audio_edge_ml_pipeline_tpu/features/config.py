@@ -9,7 +9,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field, fields as dc_fields
 from pathlib import Path
-from typing import Optional
 
 import yaml
 
@@ -18,49 +17,51 @@ import yaml
 class ExperimentConfig:
     extractor: str
     loader: str
-    name: Optional[str] = None
-    dataset: Optional[str] = None
-    split: Optional[str] = None
-    output: Optional[str] = None
-    max_samples: Optional[int] = None
-    label_col: Optional[str] = None
+    name: str | None = None
+    dataset: str | None = None
+    split: str | None = None
+    output: str | None = None
+    max_samples: int | None = None
+    label_col: str | None = None
     text_col: str = "text"
-    audio_folder: Optional[str] = None
-    image_folder: Optional[str] = None
-    text_folder: Optional[str] = None
-    video_folder: Optional[str] = None
-    extractor_params: dict = field(default_factory=dict)
-    class_filter: Optional[list[str]] = None
-    label_map: Optional[dict[str, str]] = None
-    manifest: Optional[str] = None
-    manifest_split: Optional[str] = None
+    audio_folder: str | None = None
+    image_folder: str | None = None
+    text_folder: str | None = None
+    video_folder: str | None = None
+    extractor_params: dict[str, object] = field(default_factory=dict)
+    class_filter: list[str] | None = None
+    label_map: dict[str, str] | None = None
+    manifest: str | None = None
+    manifest_split: str | None = None
 
     def resolved_name(self) -> str:
-        return self.name or f"{self.loader}_{self.extractor}_{self.split}"
+        default = f"{self.loader}_{self.extractor}_{self.split}"
+        return self.name or default
 
     def resolved_output(self) -> str:
-        return self.output or f"data/processed/{self.resolved_name()}"
+        default = f"data/processed/{self.resolved_name()}"
+        return self.output or default
 
 
 @dataclass
 class PipelineConfig:
     dataset: str = "data/raw/BIRDeep_AudioAnnotations"
     split: str = "train"
-    extractor: Optional[str] = None
-    loader: Optional[str] = None
-    output: Optional[str] = None
-    max_samples: Optional[int] = None
-    label_col: Optional[str] = None
+    extractor: str | None = None
+    loader: str | None = None
+    output: str | None = None
+    max_samples: int | None = None
+    label_col: str | None = None
     text_col: str = "text"
-    audio_folder: Optional[str] = None
-    image_folder: Optional[str] = None
-    text_folder: Optional[str] = None
-    video_folder: Optional[str] = None
-    extractor_params: dict = field(default_factory=dict)
-    class_filter: Optional[list[str]] = None
-    label_map: Optional[dict[str, str]] = None
-    manifest: Optional[str] = None
-    manifest_split: Optional[str] = None
+    audio_folder: str | None = None
+    image_folder: str | None = None
+    text_folder: str | None = None
+    video_folder: str | None = None
+    extractor_params: dict[str, object] = field(default_factory=dict)
+    class_filter: list[str] | None = None
+    label_map: dict[str, str] | None = None
+    manifest: str | None = None
+    manifest_split: str | None = None
     experiments: list[ExperimentConfig] = field(default_factory=list)
 
     # Fields where a falsy experiment value (0, [], {}) is still an explicit
@@ -79,19 +80,19 @@ class PipelineConfig:
         experiment in single-run mode. Raises ValueError on missing
         extractor/loader."""
         shared = self._shared_field_names()
-        if not self.experiments:
-            if not self.extractor or not self.loader:
+        if len(self.experiments) == 0:
+            if not (self.extractor and self.loader):
                 raise ValueError(
-                    "PipelineConfig: 'extractor' and 'loader' are required "
-                    "when no 'experiments' list is provided."
+                    "single-run mode needs both 'extractor' and 'loader' at "
+                    "the top level (or define an 'experiments' list)."
                 )
             return [ExperimentConfig(**{k: getattr(self, k) for k in shared})]
 
         out: list[ExperimentConfig] = []
-        for i, exp in enumerate(self.experiments):
-            kw: dict = {"name": exp.name}
+        for i, e in enumerate(self.experiments):
+            kw: dict = {"name": e.name}
             for k in shared:
-                v = getattr(exp, k)
+                v = getattr(e, k)
                 inherit = (v is None) if k in self._NONE_FALLTHROUGH else (not v)
                 kw[k] = getattr(self, k) if inherit else v
             merged = ExperimentConfig(**kw)
@@ -115,16 +116,15 @@ def load_config(path: Path | str) -> PipelineConfig:
     species_filter aliased to class_filter)."""
     path = Path(path)
     if not path.exists():
-        raise FileNotFoundError(f"Config file not found: {path}")
-    raw: dict = yaml.safe_load(path.read_text()) or {}
-    raw_experiments: list[dict] = raw.pop("experiments", []) or []
-    raw = _alias_species_filter(raw)
+        raise FileNotFoundError(f"no such pipeline config: {path}")
+    doc = yaml.safe_load(path.read_text()) or {}
+    exp_docs = doc.pop("experiments", []) or []
+    doc = _alias_species_filter(doc)
     top_keys = {f.name for f in dc_fields(PipelineConfig)}
-    cfg = PipelineConfig(**{k: v for k, v in raw.items() if k in top_keys})
+    cfg = PipelineConfig(**{k: v for k, v in doc.items() if k in top_keys})
     exp_keys = {f.name for f in dc_fields(ExperimentConfig)}
-    for raw_exp in raw_experiments:
-        raw_exp = _alias_species_filter(dict(raw_exp))
-        kw = {k: v for k, v in raw_exp.items() if k in exp_keys}
+    for exp_doc in exp_docs:
+        kw = {k: v for k, v in _alias_species_filter(dict(exp_doc)).items() if k in exp_keys}
         cfg.experiments.append(
             ExperimentConfig(extractor=kw.pop("extractor", ""), loader=kw.pop("loader", ""), **kw)
         )
