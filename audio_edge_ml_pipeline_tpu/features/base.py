@@ -475,9 +475,10 @@ class BatchedAudioExtractor(BaseFeatureExtractor):
                     for k, j in enumerate(idxs):
                         feat_per_item[j] = feats[k]
                 return feat_per_item
-            # rows fixed at batch_size (pad rows masked via length 0
-            # -> full-length mask is fine: they are sliced away);
-            # sample dim bucketed to 1 s steps
+            # rows fixed at batch_size; pad rows carry a FULL-length mask
+            # over all-zero audio (cheap, well-defined) and are sliced away
+            # below — nothing downstream reads them. sample dim bucketed
+            # to 1 s steps
             max_n = self._pad_bucket(max(len(y) for y, _, _ in good))
             waves = np.zeros((self.batch_size, max_n), np.float32)
             lens = np.full(self.batch_size, max_n, np.int32)

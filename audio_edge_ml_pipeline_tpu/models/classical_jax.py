@@ -93,7 +93,11 @@ def kernels() -> SimpleNamespace:
         N, r = Z.shape
         onehot = jax.nn.one_hot(y, n_classes, dtype=Z.dtype)
         counts = onehot.sum(0)
-        means = jnp.matmul(onehot.T, Z, precision=HI) / counts[:, None]
+        # a class can be absent from y (non-stratified split fallback,
+        # max_samples subsampling): clamp the mean divisor so its row stays
+        # finite (zero), and let log(prior=0) = -inf keep it unpredictable —
+        # a raw 0/0 here would NaN the whole coefficient matrix
+        means = jnp.matmul(onehot.T, Z, precision=HI) / jnp.maximum(counts, 1.0)[:, None]
         Zc = Z - means[y]
         Sw = jnp.matmul(Zc.T, Zc, precision=HI) / jnp.maximum(N - n_classes, 1)
         Sw = Sw + (1e-6 * jnp.trace(Sw) / r + 1e-12) * jnp.eye(r, dtype=Z.dtype)

@@ -39,6 +39,49 @@ JAX_TUNABLE = {"svm", "lda", "knn", "pca_svm", "pca_lda", "pca_knn"}
 
 _DEFAULT_ITERS = 400  # dual-solver steps per CV fit (refit uses the trainer default)
 
+# grid keys each family's CV core actually consumes (+ no-op keys the
+# trainers accept for sklearn-grid compatibility). Anything else is a typo
+# or an unsupported knob and must fail loudly — the sklearn GridSearchCV
+# path raises "Invalid parameter", and a silently-ignored key here would
+# score every cell identically and pick an arbitrary winner.
+_SVM_KEYS = {"C", "kernel", "gamma", "iters"}
+_GRID_KEYS = {
+    "svm": _SVM_KEYS,
+    # NB: sklearn's `shrinkage` changes LDA's covariance estimate (and so
+    # its predictions); the closed-form core doesn't implement it, so it is
+    # rejected rather than silently ignored. n_components/solver are
+    # allowed: they never affect sklearn LDA classification.
+    "lda": {"n_components", "solver"},
+    "knn": {"n_neighbors", "metric"},
+    # grids use `n_components` for every pca_* pipeline (the reference's
+    # friendly->Pipeline remap, tune.py:155-166); `n_components_pca` is
+    # additionally accepted where the trainer ctor names it that way
+    "pca_svm": _SVM_KEYS | {"n_components"},
+    "pca_lda": {"n_components", "n_components_pca", "n_components_lda", "solver"},
+    "pca_knn": {"n_components", "n_neighbors", "metric"},
+}
+_SVM_KERNELS = ("rbf", "linear")
+_KNN_METRICS = ("minkowski", "euclidean", "cosine")
+
+
+def validate_grid(model_name: str, param_grid: dict) -> None:
+    """Reject unknown grid keys and unsupported kernel/metric values BEFORE
+    any device work (the batched cores would otherwise fall through to
+    their default formulation and mis-score the cell)."""
+    allowed = _GRID_KEYS[model_name]
+    unknown = set(param_grid) - allowed
+    if unknown:
+        raise ValueError(
+            f"unknown grid key(s) {sorted(unknown)} for {model_name!r}; "
+            f"supported: {sorted(allowed)}"
+        )
+    for kern in param_grid.get("kernel", ()):
+        if kern not in _SVM_KERNELS:
+            raise ValueError(f"svm kernel must be one of {_SVM_KERNELS}, got {kern!r}")
+    for metric in param_grid.get("metric", ()):
+        if metric not in _KNN_METRICS:
+            raise ValueError(f"knn metric must be one of {_KNN_METRICS}, got {metric!r}")
+
 
 def stratified_fold_ids(y: np.ndarray, cv: int, seed: int = 42) -> np.ndarray:
     """Per-sample fold assignment: shuffle within each class, deal
@@ -69,10 +112,12 @@ def _score(y_true: np.ndarray, y_pred: np.ndarray, scoring: str) -> float:
     raise ValueError(f"unsupported scoring {scoring!r} (f1_macro | accuracy)")
 
 
-def _fold_ovo_arrays(y: np.ndarray, fold_of: np.ndarray, n_classes: int, C: float):
+def _fold_ovo_arrays(y: np.ndarray, fold_of: np.ndarray, n_classes: int):
     """Per-fold padded OvO layouts over the SAME sample space. Returns
-    (pairs, idx[F,P,M], ypm[F,P,M], u[F,P,M]) with balanced class weights
-    computed per fold (sklearn fits class_weight on each fold's data)."""
+    (pairs, idx[F,P,M], ypm[F,P,M], cw[F,P,M]) where cw holds the UNIT-C box
+    bounds — balanced class weights computed per fold (sklearn fits
+    class_weight on each fold's data); a cell's bounds are ``C * cw``. The
+    layout depends only on (y, folds), so the engine caches one per search."""
     from ..models.classical_jax import _ovo_layout
 
     cv = int(fold_of.max()) + 1
@@ -86,7 +131,7 @@ def _fold_ovo_arrays(y: np.ndarray, fold_of: np.ndarray, n_classes: int, C: floa
     P = per_fold[0][1].shape[0]
     idx = np.zeros((cv, P, M), np.int32)
     ypm = np.zeros((cv, P, M), np.float32)
-    u = np.zeros((cv, P, M), np.float32)
+    cw = np.zeros((cv, P, M), np.float32)
     pairs = per_fold[0][1]
     for f, (tr, _, idx_l, ypm_l) in enumerate(per_fold):
         m = idx_l.shape[1]
@@ -94,10 +139,9 @@ def _fold_ovo_arrays(y: np.ndarray, fold_of: np.ndarray, n_classes: int, C: floa
         ypm[f, :, :m] = ypm_l
         counts = np.bincount(y[tr], minlength=n_classes).astype(np.float64)
         w = len(tr) / (n_classes * np.maximum(counts, 1))
-        cw = np.where(ypm_l > 0, w[pairs[:, 0]][:, None],
-                      np.where(ypm_l < 0, w[pairs[:, 1]][:, None], 0.0))
-        u[f, :, :m] = C * cw
-    return pairs, idx, ypm, u
+        cw[f, :, :m] = np.where(ypm_l > 0, w[pairs[:, 0]][:, None],
+                                np.where(ypm_l < 0, w[pairs[:, 1]][:, None], 0.0))
+    return pairs, idx, ypm, cw
 
 
 def _shard_folds(mesh, *arrays):
@@ -136,6 +180,8 @@ class _CVEngine:
         self.W = np.stack([(fold_of != f) for f in range(self.cv)]).astype(np.float32)
         self.onehot = np.eye(n_classes, dtype=np.float32)[self.y]
         self._pca_cache: dict[int, np.ndarray] = {}  # ncomp -> per-fold Z
+        self._ovo = None  # cached (pairs, idx_dev, ypm_dev, cw): C-independent
+        self._W_dev = None
         self.mesh = None
         if devices > 1:
             import jax
@@ -166,22 +212,41 @@ class _CVEngine:
         with self.mesh:
             return _shard_folds(self.mesh, *padded)
 
+    def _w_dev(self):
+        """Fold-weight matrix, padded/sharded once and reused by every cell."""
+        if self._W_dev is None:
+            (self._W_dev,) = self._maybe_shard(self.W)
+        return self._W_dev
+
+    def _ovo_cached(self):
+        """(pairs, idx_dev, ypm_dev, cw): the OvO fold layout depends only on
+        (y, folds) — built and device-placed ONCE per search, not per cell
+        (a C x gamma grid otherwise rebuilds and re-uploads identical
+        index/target arrays for every cell)."""
+        if self._ovo is None:
+            pairs, idx, ypm, cw = _fold_ovo_arrays(self.y, self.fold_of, self.n_classes)
+            idx_d, ypm_d = self._maybe_shard(idx, ypm)
+            self._ovo = (pairs, idx_d, ypm_d, cw)
+        return self._ovo
+
     def eval_svm(self, cell: dict, scoring: str, Z: Optional[np.ndarray] = None) -> list[float]:
         C = float(cell.get("C", 1.0))
         kernel = str(cell.get("kernel", "rbf"))
+        if kernel not in _SVM_KERNELS:
+            raise ValueError(f"svm kernel must be one of {_SVM_KERNELS}, got {kernel!r}")
         gamma = cell.get("gamma", "scale")
         if gamma in ("scale", "auto"):
             gamma_mode, gval = str(gamma), np.float32(0.0)
         else:
             gamma_mode, gval = "value", np.float32(gamma)
-        pairs, idx, ypm, u = _fold_ovo_arrays(self.y, self.fold_of, self.n_classes, C)
+        pairs, idx, ypm, cw = self._ovo_cached()
+        (u,) = self._maybe_shard((C * cw).astype(np.float32))
+        W = self._w_dev()
         shared = Z is None
         Xin = self.X if shared else Z
         fn = self.k.svm_cv(shared, kernel, gamma_mode, _DEFAULT_ITERS)
         if self.mesh is not None and not shared:
-            W, Xin, idx, ypm, u = self._maybe_shard(self.W, Xin, idx, ypm, u)
-        else:
-            W, idx, ypm, u = self._maybe_shard(self.W, idx, ypm, u)
+            (Xin,) = self._maybe_shard(Xin)
         dec = np.asarray(fn(Xin, W, idx, ypm, u, gval))  # (F', N, P)
         scores = []
         for f in range(self.cv):
@@ -194,37 +259,38 @@ class _CVEngine:
         shared = Z is None
         Xin = self.X if shared else Z
         fn = self.k.lda_cv(shared)
+        W = self._w_dev()
         if self.mesh is not None and not shared:
-            W, Xin = self._maybe_shard(self.W, Xin)
-        else:
-            (W,) = self._maybe_shard(self.W)
+            (Xin,) = self._maybe_shard(Xin)
         dec = np.asarray(fn(Xin, self.onehot, W))
         return self._per_fold_scores(dec, scoring)
 
     def eval_knn(self, cell: dict, scoring: str, Z: Optional[np.ndarray] = None) -> list[float]:
         n_neighbors = int(cell.get("n_neighbors", 5))
         metric = str(cell.get("metric", "minkowski"))
+        if metric not in _KNN_METRICS:
+            raise ValueError(f"knn metric must be one of {_KNN_METRICS}, got {metric!r}")
         shared = Z is None
         Xin = self.X if shared else Z
         min_fold = int(self.W.sum(1).min()) or 1
         fn = self.k.knn_cv(shared, min(n_neighbors, min_fold), metric)
+        W = self._w_dev()
         if self.mesh is not None and not shared:
-            W, Xin = self._maybe_shard(self.W, Xin)
-        else:
-            (W,) = self._maybe_shard(self.W)
+            (Xin,) = self._maybe_shard(Xin)
         counts = np.asarray(fn(Xin, W, self.onehot))
         return self._per_fold_scores(counts, scoring)
 
     def eval_cell(self, model_name: str, cell: dict, scoring: str) -> list[float]:
         Z = None
         if model_name.startswith("pca_"):
-            ncomp = int(cell.get("n_components", 50))
+            # n_components_pca is the reference's knob name on the pca_*
+            # pipelines (PCALDATrainer accepts both); honor it here too
+            ncomp = int(cell.get("n_components_pca", cell.get("n_components", 50)))
             ncomp = min(ncomp, self.X.shape[1], int(self.W.sum(1).min()))
             Z = self._pca_cache.get(ncomp)
             if Z is None:
                 # cells sharing n_components reuse one fold-PCA dispatch
-                (W,) = self._maybe_shard(self.W)
-                Z = np.asarray(self.k.pca_cv(ncomp)(self.X, W))[: self.cv]  # (F, N, k)
+                Z = np.asarray(self.k.pca_cv(ncomp)(self.X, self._w_dev()))[: self.cv]  # (F, N, k)
                 self._pca_cache[ncomp] = Z
         tail = model_name.split("_")[-1]
         if tail == "svm" or model_name == "svm":
@@ -243,6 +309,7 @@ def grid_search_cv_jax(model_name: str, param_grid: dict, X, y, cv: int = 5,
     search.grid_search_cv, with the best cell refit on ALL of (X, y)."""
     if model_name not in JAX_TUNABLE:
         raise ValueError(f"{model_name!r} is not JAX-tunable; use search.grid_search_cv")
+    validate_grid(model_name, param_grid or {})
     X = np.asarray(X, np.float32)
     y = np.asarray(y, np.int64)
     n_classes = int(y.max()) + 1

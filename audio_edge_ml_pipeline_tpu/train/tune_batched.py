@@ -139,8 +139,10 @@ def train_trial_group(
 ) -> list[dict]:
     """Train all ``draws`` (same shape signature) as one vmapped program.
 
-    epoch_cb(trial_index, epoch, val_accuracy) -> True to mark the trial
-    pruned (bookkeeping only; the batch keeps training).
+    epoch_cb(trial_index, epoch, val_accuracy) is a pure observation hook
+    (its return value is ignored): the batch always trains to sweep_epochs,
+    so callers track pruning decisions themselves — run_study_batched
+    records should_prune() verdicts in a set and tells the study afterwards.
 
     Returns one dict per trial: {val_accuracy, val_f1_macro, history}.
     """
@@ -213,6 +215,7 @@ def train_trial_group(
     rngs = jax.vmap(jax.random.PRNGKey)(jnp.arange(seed + 1, seed + 1 + k))
     np_rng = np.random.default_rng(seed)
     history: list[np.ndarray] = []
+    preds = None
     for epoch in range(sweep_epochs):
         perm = np_rng.permutation(n)
         take = steps * bs
@@ -228,10 +231,10 @@ def train_trial_group(
             for i in range(k_real):  # padded duplicates are not trials
                 epoch_cb(i, epoch, float(accs[i]))
 
-    logits = np.asarray(vm_fwd(params, cols, Xvd))
-    preds = logits.argmax(-1)
+    if preds is None:  # sweep_epochs == 0: score the untrained init
+        preds = np.asarray(vm_fwd(params, cols, Xvd)).argmax(-1)
     out = []
-    hist = np.stack(history)  # (epochs, k)
+    hist = np.stack(history) if history else np.zeros((0, k))  # (epochs, k)
     for i in range(k_real):
         out.append({
             "val_accuracy": float((preds[i] == yv).mean()),

@@ -249,3 +249,27 @@ def test_rbf_kernel_rejected_by_export(blobs6, tmp_path):
                 tmp_path / "ps", None)
     with pytest.raises(ValueError, match="linear"):
         export_bundle(tmp_path / "ps" / "pca_svm.npz", tmp_path / "b", list("abcdef"))
+
+
+def test_lda_survives_absent_class():
+    """A class present in label_names but absent from y_train (non-stratified
+    split fallback, max_samples subsampling) must not NaN-poison the fit:
+    the absent class gets a -inf log-prior and is simply never predicted."""
+    rng = np.random.default_rng(7)
+    K, per, D = 5, 30, 12
+    means = rng.standard_normal((K, D)) * 2.0
+    X = np.concatenate([means[k] + rng.standard_normal((per, D)) for k in range(K)]).astype(np.float32)
+    y = np.repeat(np.arange(K), per).astype(np.int32)
+    keep = y != 3  # class 3 exists in the label space but has no samples
+    state = cj.fit_lda_np(X[keep], y[keep], n_classes=K)
+    assert np.isfinite(state["lda_coef"]).all()
+    dec = cj.lda_decision_np(X, state)
+    pred = dec.argmax(1)
+    assert not np.any(pred == 3), "absent class must never be predicted"
+    # the present classes still classify essentially perfectly
+    acc = (pred[keep] == y[keep]).mean()
+    assert acc > 0.95
+    proba = cj.softmax_np(dec)
+    assert np.isfinite(proba).all()
+    np.testing.assert_allclose(proba.sum(1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(proba[:, 3], 0.0, atol=1e-12)

@@ -123,3 +123,31 @@ def test_batched_beats_sequential_wall_clock(data):
     ratio = t_seq / max(t_batched, 1e-9)
     print(f"batched={t_batched:.3f}s sequential={t_seq:.3f}s ratio={ratio:.1f}x")
     assert ratio >= 2.0, f"batched CV only {ratio:.2f}x faster than sequential"
+
+
+def test_grid_validation_rejects_unknown_keys_and_values(data):
+    """Silently-ignored grid keys would score every cell identically and
+    pick an arbitrary winner; unsupported kernels/metrics would silently
+    fall through to the linear/euclidean formulation. All must raise."""
+    X, y = data
+    with pytest.raises(ValueError, match="unknown grid key"):
+        sj.grid_search_cv_jax("pca_lda", {"n_components_lda_typo": [5]}, X, y, cv=3)
+    with pytest.raises(ValueError, match="kernel"):
+        sj.grid_search_cv_jax("svm", {"kernel": ["poly"]}, X, y, cv=3)
+    with pytest.raises(ValueError, match="metric"):
+        sj.grid_search_cv_jax("knn", {"metric": ["chebyshev"]}, X, y, cv=3)
+    with pytest.raises(ValueError, match="shrinkage"):
+        # sklearn shrinkage changes LDA predictions; the closed-form core
+        # doesn't implement it, so it must be rejected, not ignored
+        sj.grid_search_cv_jax("lda", {"shrinkage": [0.1]}, X, y, cv=3)
+
+
+def test_n_components_pca_alias_matches_n_components(data):
+    """pca_lda's ctor knob name (reference classical.py:450) must select
+    the same PCA dimensionality as the friendly grid name."""
+    X, y = data
+    fold_of = sj.stratified_fold_ids(y, 3, seed=0)
+    engine = sj._CVEngine(X, y.astype(np.int32), fold_of, int(y.max()) + 1)
+    s_alias = engine.eval_cell("pca_lda", {"n_components_pca": 8}, "f1_macro")
+    s_plain = engine.eval_cell("pca_lda", {"n_components": 8}, "f1_macro")
+    np.testing.assert_allclose(s_alias, s_plain)
