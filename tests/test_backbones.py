@@ -106,6 +106,73 @@ def test_converter_cli_from_torch_state_dict(mbv2_template, tmp_path):
     assert all(k in data.files for k in keys)
 
 
+def test_forward_equivalence_real_keras_mobilenet_v2(tmp_path):
+    """THE reference weight source itself: keras.applications.MobileNetV2
+    (reference image/deep.py:151-243) built locally (weights=None — random
+    values, REAL architecture/layer names/shapes), BN running stats
+    randomized, saved as .keras, converted through the CLI's by-layer-name
+    path, loaded into the flax backbone — and both must compute the same
+    pooled embedding. With this, an actual ImageNet .h5/.keras checkpoint
+    converts with zero code changes; only the bytes are environment-bound."""
+    tf = pytest.importorskip("tensorflow")
+
+    import jax
+    import jax.numpy as jnp
+
+    from audio_edge_ml_pipeline_tpu.models.backbones import (
+        MobileNetV2, load_backbone_weights,
+    )
+    from convert_backbone_weights import main
+
+    keras_model = tf.keras.applications.MobileNetV2(
+        weights=None, include_top=False, input_shape=(96, 96, 3), pooling="avg"
+    )
+    rng = np.random.default_rng(7)
+    for layer in keras_model.layers:
+        if isinstance(layer, tf.keras.layers.BatchNormalization):
+            gamma, beta, mean, var = layer.get_weights()
+            layer.set_weights([
+                (0.9 + 0.2 * rng.random(gamma.shape)).astype(np.float32),
+                (0.05 * rng.standard_normal(beta.shape)).astype(np.float32),
+                (0.05 * rng.standard_normal(mean.shape)).astype(np.float32),
+                (0.8 + 0.4 * rng.random(var.shape)).astype(np.float32),
+            ])
+
+    x = rng.uniform(-1, 1, (2, 96, 96, 3)).astype(np.float32)
+    out_k = np.asarray(keras_model(tf.constant(x), training=False))
+    assert out_k.shape == (2, 1280)
+
+    src = tmp_path / "mbv2_keras.keras"
+    keras_model.save(src)
+    out_npz = tmp_path / "mbv2_from_keras.npz"
+    main(["--src", str(src), "--out", str(out_npz), "--input-size", "96"])
+
+    # bit-exact mapping spot checks: stem conv kernel verbatim (HWIO both
+    # sides), depthwise transposed (kh,kw,C,1) -> (kh,kw,1,C)
+    data = np.load(out_npz)
+    np.testing.assert_array_equal(
+        data["p/_ConvBN_0/Conv_0/kernel"],
+        keras_model.get_layer("Conv1").get_weights()[0],
+    )
+    np.testing.assert_array_equal(
+        data["p/_InvertedResidual_0/_ConvBN_0/Conv_0/kernel"],
+        np.transpose(
+            keras_model.get_layer("expanded_conv_depthwise").get_weights()[0],
+            (0, 1, 3, 2),
+        ),
+    )
+
+    fx = MobileNetV2()
+    variables = fx.init(jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)))
+    variables, n_loaded, n_skipped = load_backbone_weights(dict(variables), out_npz)
+    assert n_skipped == 0, f"{n_skipped} tensors failed to map by name+shape"
+    assert n_loaded == len(data.files)
+    out_f = np.asarray(fx.apply(variables, jnp.asarray(x), train=False))
+
+    rel = np.abs(out_f - out_k).max() / np.abs(out_k).max()
+    assert rel < 1e-3, f"flax vs real-Keras embedding rel err {rel:.2e}"
+
+
 def test_forward_equivalence_torch_oracle(tmp_path):
     """The strongest offline proof of the ImageNet path (VERDICT r2 item 7,
     up to weight availability): an INDEPENDENT torch MobileNetV2 (Keras

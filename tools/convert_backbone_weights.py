@@ -4,6 +4,10 @@
 by models.backbones.load_backbone_weights.
 
 Sources:
+  - a TF/Keras MobileNetV2 saved model (.keras / .h5) — the reference's own
+    weight source, ``keras.applications.MobileNetV2`` (reference
+    image/deep.py:151-243); mapping is BY LAYER NAME (Conv1/bn_Conv1,
+    expanded_conv_*, block_{i}_{expand,depthwise,project}[_BN], Conv_1);
   - a torchvision ``mobilenet_v2`` state_dict saved with torch.save
     (classifier head and num_batches_tracked entries are dropped);
   - any .npz whose arrays appear in the same tensor order (arr_0, arr_1, ...).
@@ -55,6 +59,62 @@ def mbv2_flax_key_order() -> list[str]:
             f"c/batch_stats/{u}/BatchNorm_0/var",
         ]
     return keys
+
+
+def keras_mbv2_layer_map() -> list[tuple[str, str, str]]:
+    """(keras conv layer, keras bn layer, flax unit path) in execution order,
+    using keras.applications.MobileNetV2's layer naming (verified against the
+    installed Keras 3: Conv1/bn_Conv1, expanded_conv_* for block 0,
+    block_{i}_* for 1..16, Conv_1/Conv_1_bn head)."""
+    pairs = [("Conv1", "bn_Conv1", "_ConvBN_0")]
+    block = 0
+    for t, _c, n, _s in _MBV2_CONFIG:
+        for _ in range(n):
+            prefix = "expanded_conv" if block == 0 else f"block_{block}"
+            unit = f"_InvertedResidual_{block}/_ConvBN_{{}}"
+            j = 0
+            if t != 1:
+                pairs.append((f"{prefix}_expand", f"{prefix}_expand_BN", unit.format(0)))
+                j = 1
+            pairs.append((f"{prefix}_depthwise", f"{prefix}_depthwise_BN", unit.format(j)))
+            pairs.append((f"{prefix}_project", f"{prefix}_project_BN", unit.format(j + 1)))
+            block += 1
+    pairs.append(("Conv_1", "Conv_1_bn", "_ConvBN_1"))
+    return pairs
+
+
+def convert_keras_mobilenet_v2(model, template: dict[str, tuple]) -> dict[str, np.ndarray]:
+    """Map a real keras.applications.MobileNetV2 instance to the named-npz
+    layout BY LAYER NAME (no positional assumptions). Keras Conv2D kernels
+    are already HWIO; DepthwiseConv2D (kh,kw,C,1) -> flax grouped-conv
+    (kh,kw,1,C); BN weights arrive [gamma, beta, moving_mean, moving_var]."""
+    out: dict[str, np.ndarray] = {}
+    for conv_name, bn_name, unit in keras_mbv2_layer_map():
+        kernel = np.asarray(model.get_layer(conv_name).get_weights()[0], np.float32)
+        if conv_name.endswith("depthwise"):
+            kernel = np.transpose(kernel, (0, 1, 3, 2))
+        gamma, beta, mean, var = (
+            np.asarray(w, np.float32) for w in model.get_layer(bn_name).get_weights()
+        )
+        unit_tensors = {
+            f"p/{unit}/Conv_0/kernel": kernel,
+            f"p/{unit}/BatchNorm_0/scale": gamma,
+            f"p/{unit}/BatchNorm_0/bias": beta,
+            f"c/batch_stats/{unit}/BatchNorm_0/mean": mean,
+            f"c/batch_stats/{unit}/BatchNorm_0/var": var,
+        }
+        for key, arr in unit_tensors.items():
+            want = tuple(template[key])
+            if tuple(arr.shape) != want:
+                raise ValueError(
+                    f"{key}: keras layers {conv_name}/{bn_name} give shape "
+                    f"{arr.shape} but the flax model needs {want}"
+                )
+            out[key] = np.ascontiguousarray(arr)
+    missing = set(template) - set(out)
+    if missing:
+        raise ValueError(f"{len(missing)} model tensors unmapped, e.g. {sorted(missing)[:3]}")
+    return out
 
 
 def _source_tensors(src: Path) -> list[np.ndarray]:
@@ -110,7 +170,13 @@ def main(argv=None) -> None:
     model = MobileNetV2()
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, args.input_size, args.input_size, 3)))
     template = {k: v.shape for k, v in flatten_variables(dict(variables)).items()}
-    named = convert_mobilenet_v2(_source_tensors(Path(args.src)), template)
+    src = Path(args.src)
+    if src.suffix in (".keras", ".h5"):
+        import tensorflow as tf
+
+        named = convert_keras_mobilenet_v2(tf.keras.models.load_model(src, compile=False), template)
+    else:
+        named = convert_mobilenet_v2(_source_tensors(src), template)
     np.savez(args.out, **named)
     print(f"wrote {len(named)} tensors -> {args.out}")
 
