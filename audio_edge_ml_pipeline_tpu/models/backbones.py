@@ -46,7 +46,7 @@ class _ConvBN(nn.Module):
     kernel: tuple[int, int] = (3, 3)
     strides: int = 1
     groups: int = 1
-    act: bool = True
+    act: bool | str = True  # True -> ReLU6 (MobileNetV2); "silu" (EfficientNet); False -> linear
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -59,7 +59,9 @@ class _ConvBN(nn.Module):
             feature_group_count=self.groups,
         )(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.999, epsilon=1e-3)(x)
-        if self.act:
+        if self.act == "silu":
+            x = nn.silu(x)
+        elif self.act:
             x = jnp.minimum(jnp.maximum(x, 0.0), 6.0)  # ReLU6
         return x
 
@@ -101,30 +103,36 @@ class MobileNetV2(nn.Module):
         return x
 
 
-class EfficientNetB0(nn.Module):
-    """Compact EfficientNet-B0-shaped backbone (MBConv stages with SE).
+# (expand, out, repeats, stride, kernel) — EfficientNet-B0 stage table
+_EFFNET_B0_CONFIG = [
+    (1, 16, 1, 1, 3),
+    (6, 24, 2, 2, 3),
+    (6, 40, 2, 2, 5),
+    (6, 80, 3, 2, 3),
+    (6, 112, 3, 1, 5),
+    (6, 192, 4, 2, 5),
+    (6, 320, 1, 1, 3),
+]
 
-    Serves the teacher role of reference models/deep.py:592-905; returns the
-    pooled 1280-d embedding.
-    """
+
+class EfficientNetB0(nn.Module):
+    """EfficientNet-B0 backbone, faithful to keras.applications.EfficientNetB0
+    inference semantics (silu activations, SE reduction = in_ch//4 of the
+    block INPUT channels with biased 1x1 convs, BN eps 1e-3, stride-2
+    correct_pad geometry == XLA SAME on even inputs); stochastic depth is a
+    train-time-only regularizer the reference never exercises at inference
+    and is not implemented. Serves the teacher role of reference
+    models/deep.py:592-905; returns the pooled 1280-d embedding. Real
+    checkpoints load via tools/convert_backbone_weights.py
+    (--arch efficientnet_b0)."""
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        # (expand, out, repeats, stride, kernel)
-        cfg = [
-            (1, 16, 1, 1, 3),
-            (6, 24, 2, 2, 3),
-            (6, 40, 2, 2, 5),
-            (6, 80, 3, 2, 3),
-            (6, 112, 3, 1, 5),
-            (6, 192, 4, 2, 5),
-            (6, 320, 1, 1, 3),
-        ]
-        x = _ConvBN(32, strides=2)(x, train)
-        for t, c, n, s, k in cfg:
+        x = _ConvBN(32, strides=2, act="silu")(x, train)
+        for t, c, n, s, k in _EFFNET_B0_CONFIG:
             for i in range(n):
                 x = _MBConvSE(c, s if i == 0 else 1, t, k)(x, train)
-        x = _ConvBN(1280, kernel=(1, 1))(x, train)
+        x = _ConvBN(1280, kernel=(1, 1), act="silu")(x, train)
         return jnp.mean(x, axis=(1, 2))
 
 
@@ -139,9 +147,13 @@ class _MBConvSE(nn.Module):
         in_ch = x.shape[-1]
         h = x
         if self.expand != 1:
-            h = _ConvBN(in_ch * self.expand, kernel=(1, 1))(h, train)
-        h = _ConvBN(h.shape[-1], kernel=(self.kernel, self.kernel), strides=self.stride, groups=h.shape[-1])(h, train)
-        # squeeze-excite
+            h = _ConvBN(in_ch * self.expand, kernel=(1, 1), act="silu")(h, train)
+        h = _ConvBN(
+            h.shape[-1], kernel=(self.kernel, self.kernel), strides=self.stride,
+            groups=h.shape[-1], act="silu",
+        )(h, train)
+        # squeeze-excite: reduction from the block INPUT channels (se_ratio
+        # 0.25 of in_ch, not of the expanded width — keras efficientnet.py)
         se = jnp.mean(h, axis=(1, 2), keepdims=True)
         se = nn.Conv(max(1, in_ch // 4), (1, 1))(se)
         se = nn.swish(se)

@@ -327,6 +327,29 @@ def load_model_bundle(path: Path):
     return arch, flat, data["norm_mean"], data["norm_var"]
 
 
+def transfer_pretrained(params, collections: dict, path: Path):
+    """By-name+shape warm start (reference deep.py:136-154 semantics: matching
+    layers transfer, everything else — head, Normalization — keeps its init).
+    Accepts any bundle written by save_model_bundle_flat, including converted
+    backbone checkpoints (tools/convert_backbone_weights.py --bundle).
+    Returns (params, collections, n_params_transferred)."""
+    _, flat, _, _ = load_model_bundle(Path(path))
+    template_flat = _flatten_params(params)
+    transferred = 0
+    for k in template_flat:
+        if k in flat and flat[k].shape == template_flat[k].shape:
+            template_flat[k] = flat[k]
+            transferred += 1
+    params = _unflatten_params(params, template_flat)
+    # same name+shape rule for collection (batch_stats) leaves: a mismatched
+    # stats tensor must keep its init, not corrupt the variables tree
+    col_template = _flatten_collections(collections)
+    col_flat = {k: v for k, v in flat.items()
+                if k in col_template and v.shape == col_template[k].shape}
+    collections = _unflatten_collections(collections, col_flat)
+    return params, collections, transferred
+
+
 # ---------------------------------------------------------------------------
 # FlaxTrainer base
 # ---------------------------------------------------------------------------
@@ -575,15 +598,9 @@ class FlaxTrainer(BaseTrainer):
         pretrained_path = self._extra.pop("pretrained_model", None)
         if pretrained_path:
             try:
-                _, flat, _, _ = load_model_bundle(Path(pretrained_path))
-                template_flat = _flatten_params(params)
-                transferred = 0
-                for k in template_flat:
-                    if k in flat and flat[k].shape == template_flat[k].shape:
-                        template_flat[k] = flat[k]
-                        transferred += 1
-                params = _unflatten_params(params, template_flat)
-                self._collections = _unflatten_collections(self._collections, flat)
+                params, self._collections, transferred = transfer_pretrained(
+                    params, self._collections, Path(pretrained_path)
+                )
                 logger.info("Pretrained weights: %d tensors transferred from %s", transferred, pretrained_path)
             except Exception as exc:
                 logger.warning("Pretrained weight transfer failed (%s); training from scratch", exc)
@@ -1010,7 +1027,9 @@ class EfficientNetTeacherTrainer(FlaxTrainer):
             logger.warning(
                 "efficientnet_teacher: backbone starts RANDOM-INIT — ImageNet "
                 "weights are unavailable offline, while the reference warm-starts "
-                "from ImageNet (models/backbones.py). Pass --param "
+                "from ImageNet (models/backbones.py). Convert a real checkpoint "
+                "(tools/convert_backbone_weights.py --arch efficientnet_b0 "
+                "--prefix backbone --bundle) and pass --param "
                 "pretrained_model=<bundle.npz> to warm-start."
             )
         self.epochs = min(self.warmup_epochs, total)

@@ -1,7 +1,9 @@
 #!/usr/bin/env python
-"""Convert pretrained MobileNetV2 weights into the framework's named-key
-.npz layout (p/<path> params + c/batch_stats/<path> running stats) consumed
-by models.backbones.load_backbone_weights.
+"""Convert pretrained MobileNetV2 / EfficientNetB0 weights into the
+framework's named-key .npz layout (p/<path> params + c/batch_stats/<path>
+running stats) consumed by models.backbones.load_backbone_weights, or (with
+--prefix backbone --bundle) a trainer bundle that warm-starts
+efficientnet_teacher via --param pretrained_model=<out.npz>.
 
 Sources:
   - a TF/Keras MobileNetV2 saved model (.keras / .h5) — the reference's own
@@ -35,7 +37,10 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from audio_edge_ml_pipeline_tpu.models.backbones import _MBV2_CONFIG  # noqa: E402
+from audio_edge_ml_pipeline_tpu.models.backbones import (  # noqa: E402
+    _EFFNET_B0_CONFIG,
+    _MBV2_CONFIG,
+)
 
 
 def mbv2_flax_key_order() -> list[str]:
@@ -117,6 +122,65 @@ def convert_keras_mobilenet_v2(model, template: dict[str, tuple]) -> dict[str, n
     return out
 
 
+def _convbn_keys(unit: str) -> list[str]:
+    return [
+        f"p/{unit}/Conv_0/kernel",
+        f"p/{unit}/BatchNorm_0/scale",
+        f"p/{unit}/BatchNorm_0/bias",
+        f"c/batch_stats/{unit}/BatchNorm_0/mean",
+        f"c/batch_stats/{unit}/BatchNorm_0/var",
+    ]
+
+
+def _take_convbn(model, conv_name: str, bn_name: str, unit: str) -> dict[str, np.ndarray]:
+    kernel = np.asarray(model.get_layer(conv_name).get_weights()[0], np.float32)
+    if "dwconv" in conv_name or conv_name.endswith("depthwise"):
+        kernel = np.transpose(kernel, (0, 1, 3, 2))  # (kh,kw,C,1) -> (kh,kw,1,C)
+    gamma, beta, mean, var = (
+        np.asarray(w, np.float32) for w in model.get_layer(bn_name).get_weights()
+    )
+    keys = _convbn_keys(unit)
+    return dict(zip(keys, [kernel, gamma, beta, mean, var]))
+
+
+def convert_keras_efficientnet_b0(model, template: dict[str, tuple]) -> dict[str, np.ndarray]:
+    """Map a real keras.applications.EfficientNetB0 BY LAYER NAME (stem_conv/
+    stem_bn, block{stage}{rep}_{expand_conv,dwconv,se_reduce,se_expand,
+    project_conv}[+ _bn variants], top_conv/top_bn) onto the flax
+    EfficientNetB0 key layout. The model's input-side ``rescaling`` /
+    ``normalization`` layers are preprocessing, not backbone weights: with a
+    real ImageNet checkpoint, feed the flax model `x/255` normalized by the
+    checkpoint's normalization constants."""
+    out = dict(_take_convbn(model, "stem_conv", "stem_bn", "_ConvBN_0"))
+    unit_idx = 0
+    for stage, (t, _c, n, _s, _k) in enumerate(_EFFNET_B0_CONFIG, start=1):
+        for rep in range(n):
+            kb = f"block{stage}{chr(ord('a') + rep)}"
+            fb = f"_MBConvSE_{unit_idx}"
+            j = 0
+            if t != 1:
+                out.update(_take_convbn(model, f"{kb}_expand_conv", f"{kb}_expand_bn", f"{fb}/_ConvBN_0"))
+                j = 1
+            out.update(_take_convbn(model, f"{kb}_dwconv", f"{kb}_bn", f"{fb}/_ConvBN_{j}"))
+            for se_i, se_name in enumerate(("se_reduce", "se_expand")):
+                k_w, k_b = model.get_layer(f"{kb}_{se_name}").get_weights()
+                out[f"p/{fb}/Conv_{se_i}/kernel"] = np.asarray(k_w, np.float32)
+                out[f"p/{fb}/Conv_{se_i}/bias"] = np.asarray(k_b, np.float32)
+            out.update(_take_convbn(model, f"{kb}_project_conv", f"{kb}_project_bn", f"{fb}/_ConvBN_{j + 1}"))
+            unit_idx += 1
+    out.update(_take_convbn(model, "top_conv", "top_bn", "_ConvBN_1"))
+
+    for key, arr in out.items():
+        want = tuple(template[key])
+        if tuple(arr.shape) != want:
+            raise ValueError(f"{key}: keras source shape {arr.shape} != model shape {want}")
+        out[key] = np.ascontiguousarray(arr)
+    missing = set(template) - set(out)
+    if missing:
+        raise ValueError(f"{len(missing)} model tensors unmapped, e.g. {sorted(missing)[:3]}")
+    return out
+
+
 def _source_tensors(src: Path) -> list[np.ndarray]:
     src = Path(src)
     if src.suffix == ".npz":
@@ -157,26 +221,64 @@ def convert_mobilenet_v2(tensors: list[np.ndarray], template: dict[str, tuple]) 
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    p.add_argument("--src", required=True, help="torch state_dict (.pt/.pth) or ordered .npz")
+    p.add_argument("--src", required=True,
+                   help="Keras saved model (.keras/.h5), torch state_dict (.pt/.pth), or ordered .npz")
     p.add_argument("--out", required=True, help="output named-key .npz")
+    p.add_argument("--arch", choices=("mobilenet_v2", "efficientnet_b0"), default="mobilenet_v2",
+                   help="target backbone (efficientnet_b0 requires a Keras source)")
     p.add_argument("--input-size", type=int, default=224)
+    p.add_argument("--prefix", default=None, metavar="PATH",
+                   help="prepend PATH/ inside p/ and c/<col>/ keys — e.g. 'backbone' "
+                        "to match EfficientNetTeacherModule's submodule name")
+    p.add_argument("--bundle", action="store_true",
+                   help="write a trainer-consumable bundle (__meta__ + identity norm "
+                        "stats) so --param pretrained_model=<out.npz> warm-starts a "
+                        "FlaxTrainer directly")
     args = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
-    from audio_edge_ml_pipeline_tpu.models.backbones import MobileNetV2, flatten_variables
+    from audio_edge_ml_pipeline_tpu.models.backbones import (
+        EfficientNetB0, MobileNetV2, flatten_variables,
+    )
 
-    model = MobileNetV2()
+    model = EfficientNetB0() if args.arch == "efficientnet_b0" else MobileNetV2()
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, args.input_size, args.input_size, 3)))
     template = {k: v.shape for k, v in flatten_variables(dict(variables)).items()}
     src = Path(args.src)
     if src.suffix in (".keras", ".h5"):
         import tensorflow as tf
 
-        named = convert_keras_mobilenet_v2(tf.keras.models.load_model(src, compile=False), template)
+        keras_model = tf.keras.models.load_model(src, compile=False)
+        if args.arch == "efficientnet_b0":
+            named = convert_keras_efficientnet_b0(keras_model, template)
+        else:
+            named = convert_keras_mobilenet_v2(keras_model, template)
+    elif args.arch == "efficientnet_b0":
+        raise SystemExit("--arch efficientnet_b0 needs a Keras .keras/.h5 source")
     else:
         named = convert_mobilenet_v2(_source_tensors(src), template)
+    if args.prefix:
+        pre = args.prefix.strip("/")
+        renamed = {}
+        for k, v in named.items():
+            col, _, rest = k.partition("/")
+            if col == "p":
+                renamed[f"p/{pre}/{rest}"] = v
+            else:  # c/<collection>/<path>
+                coll, _, path = rest.partition("/")
+                renamed[f"c/{coll}/{pre}/{path}"] = v
+        named = renamed
+    if args.bundle:
+        import json
+
+        named["__meta__"] = np.frombuffer(
+            json.dumps({"type": f"{args.arch}_backbone", "source": src.name}).encode(),
+            dtype=np.uint8,
+        )
+        named["norm_mean"] = np.zeros(1, np.float32)
+        named["norm_var"] = np.ones(1, np.float32)
     np.savez(args.out, **named)
     print(f"wrote {len(named)} tensors -> {args.out}")
 
