@@ -95,15 +95,18 @@ def kernels() -> SimpleNamespace:
         counts = onehot.sum(0)
         # a class can be absent from y (non-stratified split fallback,
         # max_samples subsampling): clamp the mean divisor so its row stays
-        # finite (zero), and let log(prior=0) = -inf keep it unpredictable —
-        # a raw 0/0 here would NaN the whole coefficient matrix
+        # finite (zero) — a raw 0/0 here would NaN the whole coefficient
+        # matrix. The prior is floored below instead of left at 0: a -inf
+        # intercept would NaN-poison int8 quantization (scale = max|a|/127
+        # = inf), while log(1e-12) ≈ -27.6 still never wins the argmax
+        # because the absent class's coef column is exactly 0.
         means = jnp.matmul(onehot.T, Z, precision=HI) / jnp.maximum(counts, 1.0)[:, None]
         Zc = Z - means[y]
         Sw = jnp.matmul(Zc.T, Zc, precision=HI) / jnp.maximum(N - n_classes, 1)
         Sw = Sw + (1e-6 * jnp.trace(Sw) / r + 1e-12) * jnp.eye(r, dtype=Z.dtype)
         coef = jnp.linalg.solve(Sw, means.T)  # (r, K)
         priors = counts / N
-        intercept = -0.5 * jnp.sum(means.T * coef, axis=0) + jnp.log(priors)
+        intercept = -0.5 * jnp.sum(means.T * coef, axis=0) + jnp.log(jnp.maximum(priors, 1e-12))
         return coef, intercept
 
     @jax.jit

@@ -228,6 +228,22 @@ class EfficientNetTeacherModule(nn.Module):
         return nn.Dense(self.n_classes, name="head")(emb)
 
 
+def _build_efficientnet_teacher(a: dict):
+    # Arch revision gate: bundles saved before the Keras-faithful rework
+    # (silu activations + squeeze-excite) load cleanly by name+shape into
+    # the new module but compute through the wrong activation — reject them
+    # instead of silently producing garbage soft targets for distillation.
+    rev = a.get("act", "relu6-legacy")
+    if rev != "silu":
+        raise ValueError(
+            f"efficientnet_teacher bundle has arch revision {rev!r}, but this "
+            "build expects 'silu' (Keras-faithful EfficientNetB0). Re-train the "
+            "teacher or re-convert the checkpoint with "
+            "tools/convert_backbone_weights.py."
+        )
+    return EfficientNetTeacherModule(a["n_classes"], a["dropout"], a.get("image_size", 224))
+
+
 _MODULE_FACTORY = {
     "mlp": lambda a: MLPModule(tuple(a["hidden_units"]), a["dropout"], a["n_classes"]),
     "cnn": lambda a: CNNModule(
@@ -237,7 +253,7 @@ _MODULE_FACTORY = {
     "transformer": lambda a: TransformerModule(
         a["num_heads"], a["ff_dim"], a["n_blocks"], a["dropout"], a["n_classes"]
     ),
-    "efficientnet_teacher": lambda a: EfficientNetTeacherModule(a["n_classes"], a["dropout"], a.get("image_size", 224)),
+    "efficientnet_teacher": lambda a: _build_efficientnet_teacher(a),
     "distillation_cnn": lambda a: CNNModule(
         tuple(a["filters"]), a["dropout"], a["n_classes"], a.get("first_stride", 1), a.get("second_stride", 1)
     ),
@@ -1013,6 +1029,7 @@ class EfficientNetTeacherTrainer(FlaxTrainer):
         return {
             "type": "efficientnet_teacher", "dropout": self.dropout, "n_classes": n_classes,
             "image_size": self.image_size, "input_shape": list(input_shape),
+            "act": "silu",  # arch revision marker — see _build_efficientnet_teacher
         }
 
     def fit(self, X_train, y_train, X_val, y_val, label_names, run_name, output_dir, mlflow_run, epoch_callback=None):

@@ -81,6 +81,15 @@ def validate_grid(model_name: str, param_grid: dict) -> None:
     for metric in param_grid.get("metric", ()):
         if metric not in _KNN_METRICS:
             raise ValueError(f"knn metric must be one of {_KNN_METRICS}, got {metric!r}")
+    for gamma in param_grid.get("gamma", ()):
+        if gamma in ("scale", "auto"):
+            continue
+        try:
+            float(gamma)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"svm gamma must be 'scale', 'auto', or numeric, got {gamma!r}"
+            ) from None
 
 
 def stratified_fold_ids(y: np.ndarray, cv: int, seed: int = 42) -> np.ndarray:

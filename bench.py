@@ -297,7 +297,9 @@ def _watchdog(seconds: float | None = None):
 
 
 if __name__ == "__main__":
-    _wd = _watchdog()
+    # the pre-flight gate is self-bounded (killable subprocess probes, hard
+    # budget), so the watchdog starts AFTER it passes — gate time must not
+    # eat the run budget of a just-recovered, still-congested backend
     if not _await_backend():
         print(json.dumps({
             "metric": "fsc22 mel+CNN clips/sec/chip", "value": 0.0,
@@ -306,5 +308,6 @@ if __name__ == "__main__":
                      "budget (BENCH_HEALTH_BUDGET_S) — bench not dispatched",
         }), flush=True)
         raise SystemExit(3)
+    _wd = _watchdog()
     main()
     _wd.cancel()

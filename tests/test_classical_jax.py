@@ -254,7 +254,9 @@ def test_rbf_kernel_rejected_by_export(blobs6, tmp_path):
 def test_lda_survives_absent_class():
     """A class present in label_names but absent from y_train (non-stratified
     split fallback, max_samples subsampling) must not NaN-poison the fit:
-    the absent class gets a -inf log-prior and is simply never predicted."""
+    the absent class gets a large-negative FINITE log-prior (a -inf one
+    would make int8 fake-quant's scale = max|a|/127 = inf and NaN the whole
+    intercept vector) and is simply never predicted."""
     rng = np.random.default_rng(7)
     K, per, D = 5, 30, 12
     means = rng.standard_normal((K, D)) * 2.0
@@ -272,4 +274,12 @@ def test_lda_survives_absent_class():
     proba = cj.softmax_np(dec)
     assert np.isfinite(proba).all()
     np.testing.assert_allclose(proba.sum(1), 1.0, atol=1e-5)
-    np.testing.assert_allclose(proba[:, 3], 0.0, atol=1e-12)
+    # the floored prior log(1e-12) ≈ -27.6 leaves the absent class ~e^-27
+    # softmax mass (not exactly 0 like the old -inf prior) — negligible
+    np.testing.assert_allclose(proba[:, 3], 0.0, atol=1e-5)
+    # the intercept must be finite so the optimize stage's int8 fake-quant
+    # keeps a finite scale (a -inf entry made every class's entry NaN)
+    assert np.isfinite(state["lda_intercept"]).all()
+    from audio_edge_ml_pipeline_tpu.optimize.quantize import fake_quant_int8
+    deq = fake_quant_int8(state["lda_intercept"])[0]
+    assert np.isfinite(deq).all()

@@ -95,27 +95,18 @@ def convert_keras_mobilenet_v2(model, template: dict[str, tuple]) -> dict[str, n
     (kh,kw,1,C); BN weights arrive [gamma, beta, moving_mean, moving_var]."""
     out: dict[str, np.ndarray] = {}
     for conv_name, bn_name, unit in keras_mbv2_layer_map():
-        kernel = np.asarray(model.get_layer(conv_name).get_weights()[0], np.float32)
-        if conv_name.endswith("depthwise"):
-            kernel = np.transpose(kernel, (0, 1, 3, 2))
-        gamma, beta, mean, var = (
-            np.asarray(w, np.float32) for w in model.get_layer(bn_name).get_weights()
-        )
-        unit_tensors = {
-            f"p/{unit}/Conv_0/kernel": kernel,
-            f"p/{unit}/BatchNorm_0/scale": gamma,
-            f"p/{unit}/BatchNorm_0/bias": beta,
-            f"c/batch_stats/{unit}/BatchNorm_0/mean": mean,
-            f"c/batch_stats/{unit}/BatchNorm_0/var": var,
-        }
-        for key, arr in unit_tensors.items():
-            want = tuple(template[key])
-            if tuple(arr.shape) != want:
-                raise ValueError(
-                    f"{key}: keras layers {conv_name}/{bn_name} give shape "
-                    f"{arr.shape} but the flax model needs {want}"
-                )
-            out[key] = np.ascontiguousarray(arr)
+        out.update(_take_convbn(model, conv_name, bn_name, unit))
+    return _checked_against_template(out, template)
+
+
+def _checked_against_template(out: dict[str, np.ndarray], template: dict[str, tuple]) -> dict[str, np.ndarray]:
+    """Per-tensor shape check + completeness check shared by both Keras
+    converters; returns the dict with contiguous float32 arrays."""
+    for key, arr in out.items():
+        want = tuple(template[key])
+        if tuple(arr.shape) != want:
+            raise ValueError(f"{key}: keras source shape {arr.shape} != model shape {want}")
+        out[key] = np.ascontiguousarray(arr)
     missing = set(template) - set(out)
     if missing:
         raise ValueError(f"{len(missing)} model tensors unmapped, e.g. {sorted(missing)[:3]}")
@@ -169,16 +160,7 @@ def convert_keras_efficientnet_b0(model, template: dict[str, tuple]) -> dict[str
             out.update(_take_convbn(model, f"{kb}_project_conv", f"{kb}_project_bn", f"{fb}/_ConvBN_{j + 1}"))
             unit_idx += 1
     out.update(_take_convbn(model, "top_conv", "top_bn", "_ConvBN_1"))
-
-    for key, arr in out.items():
-        want = tuple(template[key])
-        if tuple(arr.shape) != want:
-            raise ValueError(f"{key}: keras source shape {arr.shape} != model shape {want}")
-        out[key] = np.ascontiguousarray(arr)
-    missing = set(template) - set(out)
-    if missing:
-        raise ValueError(f"{len(missing)} model tensors unmapped, e.g. {sorted(missing)[:3]}")
-    return out
+    return _checked_against_template(out, template)
 
 
 def _source_tensors(src: Path) -> list[np.ndarray]:
@@ -271,15 +253,20 @@ def main(argv=None) -> None:
                 renamed[f"c/{coll}/{pre}/{path}"] = v
         named = renamed
     if args.bundle:
-        import json
+        # the canonical layout writer (CLAUDE.md invariant) — never hand-roll
+        # __meta__/norm keys here or converted bundles could drift from what
+        # load_model_bundle/transfer_pretrained expect
+        from audio_edge_ml_pipeline_tpu.models.deep import save_model_bundle_flat
 
-        named["__meta__"] = np.frombuffer(
-            json.dumps({"type": f"{args.arch}_backbone", "source": src.name}).encode(),
-            dtype=np.uint8,
+        meta = {"type": f"{args.arch}_backbone", "source": src.name}
+        if args.arch == "efficientnet_b0":
+            meta["act"] = "silu"  # arch revision marker (deep._build_efficientnet_teacher)
+        save_model_bundle_flat(
+            Path(args.out), meta, named,
+            np.zeros(1, np.float32), np.ones(1, np.float32),
         )
-        named["norm_mean"] = np.zeros(1, np.float32)
-        named["norm_var"] = np.ones(1, np.float32)
-    np.savez(args.out, **named)
+    else:
+        np.savez(args.out, **named)
     print(f"wrote {len(named)} tensors -> {args.out}")
 
 
