@@ -157,8 +157,17 @@ def load_config(path: Path) -> dict:
 
     cfg.setdefault("workers", min(8, os.cpu_count() or 1))
     validate_aug_specs(cfg["augmentations"])
-    for cls, override in (cfg["class_overrides"] or {}).items():
+    # per-class overrides get the same None normalization: `dog:` (null
+    # override) and `dog: {augmentations: }` (null list, meaning "no augs
+    # for dog") are both valid YAML that must not TypeError downstream
+    normalized = {}
+    for cls, override in cfg["class_overrides"].items():
+        override = dict(override or {})
+        if "augmentations" in override:
+            override["augmentations"] = override.get("augmentations") or []
         validate_aug_specs(override.get("augmentations", []), where=f"class_overrides[{cls!r}]")
+        normalized[cls] = override
+    cfg["class_overrides"] = normalized
     return cfg
 
 
@@ -270,7 +279,10 @@ def run(cfg: dict) -> None:
         (
             path, class_name, child, output_dir, n_augments, preserve, target_sr,
             level_scale,
-            class_overrides.get(class_name, {}).get("augmentations", default_augs),
+            # tolerate programmatic cfgs that skipped load_config's None
+            # normalization: a null override or null augmentations list
+            # means "no augs for this class", never a crash
+            ((class_overrides.get(class_name) or {}).get("augmentations", default_augs)) or [],
         )
         for (path, class_name), child in zip(samples, child_seeds)
     ]

@@ -285,8 +285,13 @@ def kernels() -> SimpleNamespace:
         Sw = jnp.matmul(Xc.T, Xc, precision=HI) / denom
         Sw = Sw + (shrink * jnp.trace(Sw) / r + 1e-12) * jnp.eye(r, dtype=X.dtype)
         coef = jnp.linalg.solve(Sw, means.T)  # (r, K)
-        priors = jnp.maximum(wcounts, 1.0) / jnp.maximum(jnp.sum(w), 1.0)
-        intercept = -0.5 * jnp.sum(means.T * coef, axis=0) + jnp.log(priors)
+        # same 1e-12 prior floor as fit_lda: a class absent from this fold's
+        # train rows must score the identical -27.6 constant the refit model
+        # would give it — the old max(wcounts,1)/sum(w) floor made it
+        # log(1/N) ≈ -5, high enough to attract validation predictions and
+        # skew grid selection relative to the refit behavior
+        priors = wcounts / jnp.maximum(jnp.sum(w), 1.0)
+        intercept = -0.5 * jnp.sum(means.T * coef, axis=0) + jnp.log(jnp.maximum(priors, 1e-12))
         return jnp.matmul(X, coef, precision=HI) + intercept  # (N, K)
 
     @lru_cache(maxsize=None)
@@ -394,14 +399,33 @@ def fit_lda_np(X: np.ndarray, y: np.ndarray, n_classes: int) -> dict:
     else:
         coef_j, intercept_j = k.fit_lda(X, y, n_classes=n_classes)
         coef, intercept = np.asarray(coef_j), np.asarray(intercept_j)
-    return {"lda_coef": coef.astype(np.float32), "lda_intercept": np.asarray(intercept, np.float32)}
+    # presence mask: the floored prior (log 1e-12 ≈ -27.6, kept finite so
+    # int8 fake-quant scales stay finite) makes an absent class effectively
+    # unpredictable near the training distribution, but an out-of-distribution
+    # input can push every present class's affine score below -27.6 — the
+    # mask makes "never predicted" unconditional at decision time
+    present = (np.bincount(y, minlength=n_classes) > 0)
+    return {
+        "lda_coef": coef.astype(np.float32),
+        "lda_intercept": np.asarray(intercept, np.float32),
+        "lda_present": present,
+    }
 
 
 def lda_decision_np(X: np.ndarray, state: dict) -> np.ndarray:
     k = kernels()
-    return np.asarray(
+    dec = np.asarray(
         k.linear_decision(np.asarray(X, np.float32), state["lda_coef"], state["lda_intercept"])
     )
+    present = state.get("lda_present")  # absent in pre-mask saved bundles
+    if present is not None and not np.asarray(present).all():
+        absent = ~np.asarray(present, bool)
+        dec = np.array(dec)  # np.asarray of a CPU jax array can be read-only
+        # row-relative floor far below every present-class score: argmax can
+        # never pick an absent class, and its softmax mass is ~e^-100 ≈ 0
+        # (finite, so downstream quantization/metrics never see inf)
+        dec[:, absent] = dec[:, ~absent].min(axis=1, keepdims=True) - 100.0
+    return dec
 
 
 def softmax_np(d: np.ndarray) -> np.ndarray:

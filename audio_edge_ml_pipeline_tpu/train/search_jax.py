@@ -254,7 +254,8 @@ class _CVEngine:
         shared = Z is None
         Xin = self.X if shared else Z
         fn = self.k.svm_cv(shared, kernel, gamma_mode, _DEFAULT_ITERS)
-        if self.mesh is not None and not shared:
+        if self.mesh is not None and not shared and isinstance(Xin, np.ndarray):
+            # host-provided Z only; eval_cell's cached Z is already sharded
             (Xin,) = self._maybe_shard(Xin)
         dec = np.asarray(fn(Xin, W, idx, ypm, u, gval))  # (F', N, P)
         scores = []
@@ -269,7 +270,8 @@ class _CVEngine:
         Xin = self.X if shared else Z
         fn = self.k.lda_cv(shared)
         W = self._w_dev()
-        if self.mesh is not None and not shared:
+        if self.mesh is not None and not shared and isinstance(Xin, np.ndarray):
+            # host-provided Z only; eval_cell's cached Z is already sharded
             (Xin,) = self._maybe_shard(Xin)
         dec = np.asarray(fn(Xin, self.onehot, W))
         return self._per_fold_scores(dec, scoring)
@@ -284,7 +286,8 @@ class _CVEngine:
         min_fold = int(self.W.sum(1).min()) or 1
         fn = self.k.knn_cv(shared, min(n_neighbors, min_fold), metric)
         W = self._w_dev()
-        if self.mesh is not None and not shared:
+        if self.mesh is not None and not shared and isinstance(Xin, np.ndarray):
+            # host-provided Z only; eval_cell's cached Z is already sharded
             (Xin,) = self._maybe_shard(Xin)
         counts = np.asarray(fn(Xin, W, self.onehot))
         return self._per_fold_scores(counts, scoring)
@@ -298,8 +301,11 @@ class _CVEngine:
             ncomp = min(ncomp, self.X.shape[1], int(self.W.sum(1).min()))
             Z = self._pca_cache.get(ncomp)
             if Z is None:
-                # cells sharing n_components reuse one fold-PCA dispatch
-                Z = np.asarray(self.k.pca_cv(ncomp)(self.X, self._w_dev()))[: self.cv]  # (F, N, k)
+                # cells sharing n_components reuse one fold-PCA dispatch, and
+                # the result stays ON DEVICE (fold-sharded when meshed, since
+                # _w_dev() is): fetching to host and re-sharding per grid cell
+                # re-uploaded the same (F, N, k) tensor once per cell
+                Z = self.k.pca_cv(ncomp)(self.X, self._w_dev())  # (F', N, k)
                 self._pca_cache[ncomp] = Z
         tail = model_name.split("_")[-1]
         if tail == "svm" or model_name == "svm":

@@ -130,6 +130,18 @@ def test_config_fails_fast_on_bad_specs(tmp_path):
     cfg = load_config(nulls)
     assert cfg["augmentations"] == [] and cfg["class_overrides"] == {}
 
+    # ...and so do null PER-CLASS override keys: `dog:` (null override) and
+    # `cat: {augmentations: }` (null list = "no augs for cat") used to
+    # TypeError in validate_aug_specs instead of normalizing
+    null_overrides = tmp_path / "null_overrides.yaml"
+    null_overrides.write_text(
+        "output_dir: /tmp/x\naugmentations: [{type: polarity_inversion}]\n"
+        "class_overrides:\n  dog:\n  cat:\n    augmentations:\n"
+    )
+    cfg = load_config(null_overrides)
+    assert cfg["class_overrides"]["dog"] == {}
+    assert cfg["class_overrides"]["cat"]["augmentations"] == []
+
 
 def test_same_stem_inputs_rejected(tmp_path):
     """Two inputs mapping to one output path were a silent serial overwrite

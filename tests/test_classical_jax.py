@@ -283,3 +283,18 @@ def test_lda_survives_absent_class():
     from audio_edge_ml_pipeline_tpu.optimize.quantize import fake_quant_int8
     deq = fake_quant_int8(state["lda_intercept"])[0]
     assert np.isfinite(deq).all()
+    # OOD safety: far from every class mean, all present-class affine scores
+    # drop below the floored -27.6 intercept — without the lda_present mask
+    # the zero-coef absent class would win the argmax
+    X_ood = np.full((4, D), 1e4, np.float32) * np.array([[1], [-1], [2], [-3]], np.float32)
+    pred_ood = cj.lda_decision_np(X_ood, state).argmax(1)
+    assert not np.any(pred_ood == 3), "absent class must not win on outliers"
+    # and the mask survives the .npz save/load round trip trainers use
+    import io
+    buf = io.BytesIO()
+    np.savez(buf, **state)
+    buf.seek(0)
+    loaded = dict(np.load(buf))
+    assert loaded["lda_present"].dtype == np.bool_
+    pred_loaded = cj.lda_decision_np(X_ood, loaded).argmax(1)
+    assert not np.any(pred_loaded == 3)
