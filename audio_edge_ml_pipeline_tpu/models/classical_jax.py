@@ -10,10 +10,12 @@ tiles it onto the MXU:
   N x N path is both exact (same spectrum) and orders of magnitude
   cheaper. Deterministic component signs (largest-|coef| positive).
 - **LDA** — closed-form Gaussian discriminant: class means via one-hot
-  matmuls, pooled within-class covariance + tiny shrinkage, Cholesky
-  solve. For D > N-1 the problem is first projected (losslessly) onto
-  the span of the centered data via the PCA above. predict_proba is the
-  softmax over the decision function (sklearn semantics).
+  matmuls, pooled within-class covariance, eigendecomposition solve
+  with a relative rank cutoff (sklearn svd-solver convention, and the
+  reason quantized LDA artifacts keep bounded weights). For D > N-1
+  the problem is first projected (losslessly) onto the span of the
+  centered data via the PCA above. predict_proba is the softmax over
+  the decision function (sklearn semantics).
 - **SVM** — all K(K-1)/2 one-vs-one dual QPs solved SIMULTANEOUSLY as one
   batched accelerated-projected-gradient program: pairs are padded to a
   common size M, the full N x N kernel matrix is computed once, per-pair
@@ -88,8 +90,8 @@ def kernels() -> SimpleNamespace:
 
     @partial(jax.jit, static_argnames=("n_classes",))
     def fit_lda(Z, y, n_classes):
-        """Closed-form LDA in a full-rank space: pooled within-class
-        covariance + Cholesky solve. Returns (coef[r,K], intercept[K])."""
+        """Closed-form LDA: pooled within-class covariance, rank-cutoff
+        eigendecomposition solve. Returns (coef[r,K], intercept[K])."""
         N, r = Z.shape
         onehot = jax.nn.one_hot(y, n_classes, dtype=Z.dtype)
         counts = onehot.sum(0)
@@ -103,11 +105,28 @@ def kernels() -> SimpleNamespace:
         means = jnp.matmul(onehot.T, Z, precision=HI) / jnp.maximum(counts, 1.0)[:, None]
         Zc = Z - means[y]
         Sw = jnp.matmul(Zc.T, Zc, precision=HI) / jnp.maximum(N - n_classes, 1)
-        Sw = Sw + (1e-6 * jnp.trace(Sw) / r + 1e-12) * jnp.eye(r, dtype=Z.dtype)
-        coef = jnp.linalg.solve(Sw, means.T)  # (r, K)
+        coef = _sw_pinv_solve(Sw, means.T)  # (r, K)
         priors = counts / N
         intercept = -0.5 * jnp.sum(means.T * coef, axis=0) + jnp.log(jnp.maximum(priors, 1e-12))
         return coef, intercept
+
+    def _sw_pinv_solve(Sw, B):
+        """Solve Sw @ coef = B by eigendecomposition with a RELATIVE rank
+        cutoff (sklearn svd-solver convention: within-class directions below
+        tolerance are DISCARDED, not ridge-inflated). The previous ridge
+        floor (1e-6 * trace) let near-null within-variance directions blow
+        coefficients up to ~1e8 — decisions stayed exact in f32, but fp16
+        artifacts overflowed to chance accuracy and int8 scales flattened
+        every informative weight. The cutoff is the standard pinv rcond,
+        dim * eps(dtype) * ev_max: JAX f32 eigh noise on rank-deficient
+        dims measured up to ~5*eps*ev_max, and a noise dim kept just above
+        a tighter cutoff re-enters with weight 1/ev ~ 1e6 (measured) —
+        exactly the blow-up this solve exists to prevent."""
+        ev, V = jnp.linalg.eigh(Sw)  # ascending
+        rcond = Sw.shape[0] * jnp.finfo(Sw.dtype).eps
+        keep = ev > rcond * jnp.maximum(ev[-1], 1e-30)
+        inv = jnp.where(keep, 1.0 / jnp.maximum(ev, 1e-30), 0.0)
+        return jnp.matmul(V, inv[:, None] * jnp.matmul(V.T, B, precision=HI), precision=HI)
 
     @jax.jit
     def linear_decision(X, coef, intercept):
@@ -270,9 +289,10 @@ def kernels() -> SimpleNamespace:
         core = partial(_pca_w_core, n_components=n_components)
         return jax.jit(jax.vmap(core, in_axes=(None, 0)))
 
-    def _lda_w_core(X, y_onehot, w, shrink=1e-6):
+    def _lda_w_core(X, y_onehot, w):
         """Weighted closed-form LDA; returns decision values for ALL rows
-        (N, K)."""
+        (N, K). Same rank-cutoff solve as fit_lda — CV fold scores must see
+        the identical covariance treatment the refit model gets."""
         N, r = X.shape
         wcounts = jnp.matmul(w, y_onehot)  # (K,)
         means = jnp.matmul((y_onehot * w[:, None]).T, X, precision=HI) / jnp.maximum(
@@ -283,8 +303,7 @@ def kernels() -> SimpleNamespace:
         K = y_onehot.shape[1]
         denom = jnp.maximum(jnp.sum(w) - K, 1.0)
         Sw = jnp.matmul(Xc.T, Xc, precision=HI) / denom
-        Sw = Sw + (shrink * jnp.trace(Sw) / r + 1e-12) * jnp.eye(r, dtype=X.dtype)
-        coef = jnp.linalg.solve(Sw, means.T)  # (r, K)
+        coef = _sw_pinv_solve(Sw, means.T)  # (r, K)
         # same 1e-12 prior floor as fit_lda: a class absent from this fold's
         # train rows must score the identical -27.6 constant the refit model
         # would give it — the old max(wcounts,1)/sum(w) floor made it

@@ -109,6 +109,34 @@ def test_lda_parity_and_tall_matrix(blobs6):
     assert (p == skw.predict(Xwv)).mean() >= 0.95
 
 
+def test_lda_coefficients_survive_reduced_precision():
+    """Rank-deficient fits (D >> N: within-scatter has exact-null
+    directions) must yield BOUNDED coefficients. The ridge-floor solve kept
+    near-null eigendirections with 1/ev weights up to ~4e8: decisions were
+    exact in f32, but the fp16 optimize artifact overflowed to chance
+    accuracy and the int8 scale (max|w|/127) flattened every informative
+    weight. The rank-cutoff solve (pinv rcond = dim * eps * ev_max) drops
+    them; deliberate divergence from sklearn's svd solver, which keeps
+    tiny-singular-value directions with |coef| ~ 4e4 on this data."""
+    rng = np.random.default_rng(11)
+    K, per, D = 6, 8, 302  # N=48 << D, like a tiny classical FeatureSet
+    means = rng.standard_normal((K, D)) * 1.5
+    X = np.concatenate(
+        [means[k] + rng.standard_normal((per, D)) for k in range(K)]
+    ).astype(np.float32)
+    y = np.repeat(np.arange(K), per).astype(np.int32)
+    st = cj.fit_lda_np(X, y, K)
+    # bounded enough that fp16 round-trips without overflow (max f16 65504)
+    assert np.abs(st["lda_coef"]).max() < 1e4
+    c16 = st["lda_coef"].astype(np.float16).astype(np.float32)
+    assert np.isfinite(c16).all()
+    # fp16 weights must preserve the training-set decisions
+    dec32 = cj.lda_decision_np(X, st).argmax(1)
+    dec16 = (X @ c16 + st["lda_intercept"]).argmax(1)
+    assert (dec16 == dec32).mean() >= 0.95
+    assert (dec32 == y).mean() >= 0.95  # and the fit itself still separates
+
+
 def test_pca_subspace_matches_sklearn(blobs6):
     from sklearn.decomposition import PCA
     from sklearn.pipeline import Pipeline
