@@ -271,6 +271,16 @@ def _quantize_classical(trainer: BaseTrainer, mode: str, model_path: Path, out_p
     def visit(arr):
         saved["orig"] += arr.nbytes
         if mode == "dynamic_int8":
+            # weight-only semantics, like onnxruntime quantize_dynamic
+            # (reference quantize.py int8 path): only >=2-D weight matrices
+            # (SVs, dual/LDA coefs, PCA components) are quantized — biases,
+            # Platt sigmoids, and scaler/PCA normalization vectors stay
+            # float. Per-tensor int8 on a scaler_scale spanning decades
+            # zeroes small stds and collapsed pca_svm/lda to chance
+            # accuracy, for a saving of a few hundred bytes.
+            if arr.ndim < 2:
+                saved["quant"] += arr.nbytes
+                return arr
             deq, _, nbytes, _q = fake_quant_int8(arr)
             saved["quant"] += nbytes
             return deq

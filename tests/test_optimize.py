@@ -33,6 +33,44 @@ def test_fake_quant_int8_roundtrip():
     assert s0 == 0.0 and (z == 0).all()
 
 
+def test_classical_int8_is_weight_only():
+    """Classical dynamic_int8 quantizes only >=2-D weight matrices
+    (onnxruntime quantize_dynamic semantics: MatMul initializers), never
+    normalization/bias vectors — per-tensor int8 on a scaler_scale whose
+    feature stds span decades zeroed small stds and collapsed pca_svm to
+    chance accuracy (measured 0.17 -> 1.00 after this rule)."""
+    from audio_edge_ml_pipeline_tpu.models.registry import get_model
+    from audio_edge_ml_pipeline_tpu.optimize.quantize import _quantize_classical
+
+    rng = np.random.default_rng(5)
+    K, per, D = 4, 25, 30
+    # heterogeneous feature scales: stds spanning 1e-3 .. 1e3 like the
+    # classical 302-d audio vector (mel energies vs zcr vs tonnetz)
+    scales = np.logspace(-3, 3, D)
+    means = rng.standard_normal((K, D)) * 2.0
+    Xtr = (np.concatenate([means[k] + rng.standard_normal((per, D)) for k in range(K)]) * scales).astype(np.float32)
+    ytr = np.repeat(np.arange(K), per).astype(np.int32)
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        trainer = get_model("pca_svm")(n_components=8, iters=300)
+        trainer.fit(Xtr, ytr, Xtr[:8], ytr[:8], ["a", "b", "c", "d"], "t", Path(td), None)
+        base_acc = (trainer.predict(Xtr) == ytr).mean()
+        assert base_acc >= 0.95
+        mp = Path(td) / "pca_svm.npz"
+        trainer.save(mp)
+        view, size_kb = _quantize_classical(trainer, "dynamic_int8", mp, Path(td) / "q.npz")
+        orig_kb = mp.stat().st_size / 1024
+    # 1-D normalization params stayed float (bit-identical to the fit)
+    np.testing.assert_array_equal(view._state["scaler_scale"], trainer._state["scaler_scale"])
+    # the weight matrices were genuinely quantized ...
+    assert not np.array_equal(view._state["pca_components"], trainer._state["pca_components"])
+    assert size_kb < 0.75 * orig_kb  # small model: 1-D float params + npz overhead keep a floor
+    # ... and predictions survive
+    q_acc = (view.predict(Xtr) == ytr).mean()
+    assert q_acc >= base_acc - 0.05
+
+
 @pytest.fixture(scope="module")
 def trained_setup(tmp_path_factory):
     """Train a small CNN + an SVM on synthetic spectrogram-ish data; build a
