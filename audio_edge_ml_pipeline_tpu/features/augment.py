@@ -29,44 +29,92 @@ logger = logging.getLogger(__name__)
 
 
 # ---------------------------------------------------------------------------
-# Augmentors: (y, sr, rng, **params) -> np.ndarray
+# Augmentors: each is a draw(rng, cur_len, **params) + apply(y, sr, drawn)
+# pair, composed into the public (y, sr, rng, **params) callable. The split
+# single-sources the arithmetic for BOTH backends: the host path draws and
+# applies per copy, the device path pre-draws every copy's parameters in
+# the identical rng order (_predraw_params) and batch-applies stage-major,
+# so the two backends share bit-identical parameter streams by
+# construction, not by parallel maintenance.
 # ---------------------------------------------------------------------------
 
 
+def _draw_volume_scale(rng, cur_len, min_gain=0.7, max_gain=1.3):
+    return rng.uniform(min_gain, max_gain)
+
+
+def _apply_volume_scale(y, sr, g):
+    return (y * g).astype(y.dtype)
+
+
 def volume_scale(y, sr, rng, min_gain: float = 0.7, max_gain: float = 1.3):
-    return (y * rng.uniform(min_gain, max_gain)).astype(y.dtype)
+    return _apply_volume_scale(y, sr, _draw_volume_scale(rng, len(y), min_gain, max_gain))
 
 
-def gaussian_noise(y, sr, rng, min_amplitude: float = 0.001, max_amplitude: float = 0.008):
-    amplitude = rng.uniform(min_amplitude, max_amplitude)
-    noise = rng.standard_normal(len(y)).astype(y.dtype) * amplitude
+def _draw_gaussian_noise(rng, cur_len, min_amplitude=0.001, max_amplitude=0.008):
+    return rng.uniform(min_amplitude, max_amplitude), rng.standard_normal(cur_len)
+
+
+def _apply_gaussian_noise(y, sr, drawn):
+    amplitude, white = drawn
+    noise = white.astype(y.dtype) * amplitude
     return np.clip(y + noise, -1.0, 1.0).astype(y.dtype)
 
 
+def gaussian_noise(y, sr, rng, min_amplitude: float = 0.001, max_amplitude: float = 0.008):
+    return _apply_gaussian_noise(y, sr, _draw_gaussian_noise(rng, len(y), min_amplitude, max_amplitude))
+
+
+def _draw_time_stretch(rng, cur_len, min_rate=0.85, max_rate=1.15):
+    return rng.uniform(min_rate, max_rate)
+
+
 def time_stretch(y, sr, rng, min_rate: float = 0.85, max_rate: float = 1.15):
-    rate = rng.uniform(min_rate, max_rate)
+    rate = _draw_time_stretch(rng, len(y), min_rate, max_rate)
     return effects.time_stretch(np.asarray(y, np.float64), rate).astype(np.float32)
 
 
+def _draw_pitch_shift(rng, cur_len, min_steps=-3.0, max_steps=3.0):
+    return rng.uniform(min_steps, max_steps)
+
+
 def pitch_shift(y, sr, rng, min_steps: float = -3.0, max_steps: float = 3.0):
-    n_steps = rng.uniform(min_steps, max_steps)
+    n_steps = _draw_pitch_shift(rng, len(y), min_steps, max_steps)
     return effects.pitch_shift(np.asarray(y, np.float64), sr, n_steps).astype(np.float32)
 
 
+def _draw_time_shift(rng, cur_len, max_fraction=0.2):
+    return rng.uniform(-max_fraction, max_fraction)
+
+
+def _apply_time_shift(y, sr, frac):
+    return np.roll(y, int(frac * len(y))).astype(y.dtype)
+
+
 def time_shift(y, sr, rng, max_fraction: float = 0.2):
-    shift = int(rng.uniform(-max_fraction, max_fraction) * len(y))
-    return np.roll(y, shift).astype(y.dtype)
+    return _apply_time_shift(y, sr, _draw_time_shift(rng, len(y), max_fraction))
 
 
-def polarity_inversion(y, sr, rng):
+def _draw_polarity_inversion(rng, cur_len):
+    return None
+
+
+def _apply_polarity_inversion(y, sr, _):
     return (-y).astype(y.dtype)
 
 
-def pdm_hiss(y, sr, rng, min_amplitude: float = 0.02, max_amplitude: float = 0.08, notch_freq: float = 4000.0):
-    """Pink-tinted noise floor with a hardware-style notch at notch_freq —
-    simulates the device PDM microphone (reference augment.py:135-168)."""
+def polarity_inversion(y, sr, rng):
+    return _apply_polarity_inversion(y, sr, None)
+
+
+def _draw_pdm_hiss(rng, cur_len, min_amplitude=0.02, max_amplitude=0.08, notch_freq=4000.0):
+    white = rng.standard_normal(cur_len)  # white is drawn BEFORE amplitude
+    return white, rng.uniform(min_amplitude, max_amplitude), notch_freq
+
+
+def _apply_pdm_hiss(y, sr, drawn):
+    white, amplitude, notch_freq = drawn
     n = len(y)
-    white = rng.standard_normal(n)
     fft = np.fft.rfft(white)
     freqs = np.fft.rfftfreq(n, d=1.0 / sr)
     freqs[0] = 1.0
@@ -74,8 +122,13 @@ def pdm_hiss(y, sr, rng, min_amplitude: float = 0.02, max_amplitude: float = 0.0
     fft[np.abs(np.fft.rfftfreq(n, d=1.0 / sr) - notch_freq) < (sr / n * 2)] = 0.0
     pink = np.fft.irfft(fft, n=n).astype(np.float32)
     pink /= np.sqrt(np.mean(pink**2)) + 1e-9
-    amplitude = rng.uniform(min_amplitude, max_amplitude)
     return np.clip(y + pink * amplitude, -1.0, 1.0).astype(y.dtype)
+
+
+def pdm_hiss(y, sr, rng, min_amplitude: float = 0.02, max_amplitude: float = 0.08, notch_freq: float = 4000.0):
+    """Pink-tinted noise floor with a hardware-style notch at notch_freq —
+    simulates the device PDM microphone (reference augment.py:135-168)."""
+    return _apply_pdm_hiss(y, sr, _draw_pdm_hiss(rng, len(y), min_amplitude, max_amplitude, notch_freq))
 
 
 AUGMENTORS = {
@@ -86,6 +139,24 @@ AUGMENTORS = {
     "time_shift": time_shift,
     "polarity_inversion": polarity_inversion,
     "pdm_hiss": pdm_hiss,
+}
+
+# draw/apply halves by name, for the device backend's pre-draw + stage apply
+_DRAWERS = {
+    "volume_scale": _draw_volume_scale,
+    "gaussian_noise": _draw_gaussian_noise,
+    "time_stretch": _draw_time_stretch,
+    "pitch_shift": _draw_pitch_shift,
+    "time_shift": _draw_time_shift,
+    "polarity_inversion": _draw_polarity_inversion,
+    "pdm_hiss": _draw_pdm_hiss,
+}
+_APPLIERS = {  # non-vocoder stages only; vocoder stages batch on device
+    "volume_scale": _apply_volume_scale,
+    "gaussian_noise": _apply_gaussian_noise,
+    "time_shift": _apply_time_shift,
+    "polarity_inversion": _apply_polarity_inversion,
+    "pdm_hiss": _apply_pdm_hiss,
 }
 
 
@@ -210,25 +281,37 @@ def _iter_samples(cfg: dict):
         raise ValueError(f"Unknown loader {loader_name!r}. Valid: ['audio_folder', 'fsc22']")
 
 
+def _decode_and_write_original(path, class_name, output_dir, target_sr, level_scale):
+    """Decode one source file (skip-and-continue on failure, like the
+    extraction path), level-match, and write the original copy. Shared by
+    both backends so their output trees cannot drift. Returns
+    (y, sr, class_dir) or None if skipped."""
+    try:
+        y, sr = load_audio(path, sr=target_sr)
+    except Exception as exc:
+        # e.g. a non-WAV file admitted by the extension list that the
+        # decoder rejects
+        logger.warning("Skipping %s: %s", path, exc)
+        return None
+    y = np.clip(y * level_scale, -1.0, 1.0)
+    class_dir = output_dir / class_name
+    class_dir.mkdir(parents=True, exist_ok=True)
+    # outputs are WAV data regardless of the source container
+    write_wav(class_dir / f"{path.stem}.wav", y, sr)
+    return y, sr, class_dir
+
+
 def _augment_file(task) -> int:
     """Process one source file: level-matched original + n augmented copies.
     Module-level (picklable) worker for the process pool; returns 1 if the
     file was processed, 0 if skipped."""
     (path, class_name, child_seed, output_dir, n_augments, preserve,
      target_sr, level_scale, aug_specs) = task
-    try:
-        y, sr = load_audio(path, sr=target_sr)
-    except Exception as exc:
-        # skip-and-continue like the extraction path (e.g. a non-WAV file
-        # admitted by the extension list that the decoder rejects)
-        logger.warning("Skipping %s: %s", path, exc)
+    decoded = _decode_and_write_original(path, class_name, output_dir, target_sr, level_scale)
+    if decoded is None:
         return 0
+    y, sr, class_dir = decoded
     rng = np.random.default_rng(child_seed)
-    y = np.clip(y * level_scale, -1.0, 1.0)
-    class_dir = output_dir / class_name
-    class_dir.mkdir(parents=True, exist_ok=True)
-    # outputs are WAV data regardless of the source container
-    write_wav(class_dir / f"{path.stem}.wav", y, sr)
     for i in range(1, n_augments + 1):
         y_aug = apply_augmentations(y, sr, aug_specs, rng)
         if preserve:
@@ -245,88 +328,46 @@ def _augment_file(task) -> int:
 def _predraw_params(rng: np.random.Generator, aug_specs: list[dict], init_len: int) -> list[tuple]:
     """Mirror apply_augmentations' rng consumption EXACTLY (same draws, same
     order, including data-length-dependent noise vectors), returning
-    (type, params) per spec. This is what lets backend=device produce the
-    identical parameter stream as backend=host from the same seed — the
-    only output difference is the vocoder's f32-vs-f64 numerics (~1e-3)."""
+    (type, params) per spec. Both backends call the SAME _draw_* halves, so
+    the parameter streams are bit-identical by construction — the only
+    output difference is the vocoder's f32-vs-f64 numerics (~1e-3)."""
     drawn = []
     cur = init_len
     for spec in aug_specs:
         t = spec["type"]
         p = {k: v for k, v in spec.items() if k != "type"}
-        if t == "volume_scale":
-            drawn.append((t, rng.uniform(p.get("min_gain", 0.7), p.get("max_gain", 1.3))))
-        elif t == "gaussian_noise":
-            a = rng.uniform(p.get("min_amplitude", 0.001), p.get("max_amplitude", 0.008))
-            drawn.append((t, (a, rng.standard_normal(cur))))
-        elif t == "time_stretch":
-            rate = rng.uniform(p.get("min_rate", 0.85), p.get("max_rate", 1.15))
-            drawn.append((t, rate))
-            cur = int(round(cur / rate))
-        elif t == "pitch_shift":
-            drawn.append((t, rng.uniform(p.get("min_steps", -3.0), p.get("max_steps", 3.0))))
-        elif t == "time_shift":
-            drawn.append((t, rng.uniform(-p.get("max_fraction", 0.2), p.get("max_fraction", 0.2))))
-        elif t == "polarity_inversion":
-            drawn.append((t, None))
-        elif t == "pdm_hiss":
-            white = rng.standard_normal(cur)  # host draws white BEFORE amplitude
-            a = rng.uniform(p.get("min_amplitude", 0.02), p.get("max_amplitude", 0.08))
-            drawn.append((t, (white, a, p.get("notch_freq", 4000.0))))
-        else:  # pragma: no cover - validate_aug_specs rejects these upfront
-            raise ValueError(f"Unknown augmentation type {t!r}")
+        params = _DRAWERS[t](rng, cur, **p)
+        drawn.append((t, params))
+        if t == "time_stretch":
+            cur = int(round(cur / params))  # golden time_stretch length contract
     return drawn
 
 
-def _apply_drawn(y: np.ndarray, sr: int, t: str, params) -> np.ndarray:
-    """Apply one non-vocoder stage with pre-drawn parameters — the exact
-    arithmetic of the host augmentor, so outputs are bit-identical."""
-    if t == "volume_scale":
-        return (y * params).astype(y.dtype)
-    if t == "gaussian_noise":
-        a, white = params
-        noise = white.astype(y.dtype) * a
-        return np.clip(y + noise, -1.0, 1.0).astype(y.dtype)
-    if t == "time_shift":
-        return np.roll(y, int(params * len(y))).astype(y.dtype)
-    if t == "polarity_inversion":
-        return (-y).astype(y.dtype)
-    if t == "pdm_hiss":
-        white, a, notch_freq = params
-        n = len(y)
-        sr_f = float(sr)
-        fft = np.fft.rfft(white[:n] if len(white) >= n else np.pad(white, (0, n - len(white))))
-        freqs = np.fft.rfftfreq(n, d=1.0 / sr_f)
-        freqs[0] = 1.0
-        fft /= np.sqrt(freqs)
-        fft[np.abs(np.fft.rfftfreq(n, d=1.0 / sr_f) - notch_freq) < (sr_f / n * 2)] = 0.0
-        pink = np.fft.irfft(fft, n=n).astype(np.float32)
-        pink /= np.sqrt(np.mean(pink**2)) + 1e-9
-        return np.clip(y + pink * a, -1.0, 1.0).astype(y.dtype)
-    raise ValueError(f"not a host stage: {t!r}")
+_DEVICE_MIN_GROUP = 4  # smaller equal-(length, sr) groups use the oracle
 
 
-_DEVICE_MIN_GROUP = 4  # smaller equal-length groups fall back to the oracle
-
-
-def _vocoder_stage(copies: list[np.ndarray], t: str, params: list, sr: int) -> list[np.ndarray]:
-    """Apply time_stretch / pitch_shift across copies: equal-length groups
-    of >= _DEVICE_MIN_GROUP run as ONE device program (ops/effects_jax);
-    stragglers use the float64 oracle (identical parameters either way)."""
+def _vocoder_stage(copies: list[np.ndarray], t: str, params: list,
+                   srs: list[int]) -> list[np.ndarray]:
+    """Apply time_stretch / pitch_shift across copies as device batches
+    (ops/effects_jax handles mixed lengths via 4096-sample padding
+    buckets). pitch_shift's resample-back ratio depends on the clip's sr,
+    so copies group by sr; groups under _DEVICE_MIN_GROUP use the float64
+    oracle (identical parameters either way)."""
     from ..ops import effects_jax
     from ..ops.golden import effects as golden_effects
 
-    by_len: dict[int, list[int]] = {}
-    for i, y in enumerate(copies):
-        by_len.setdefault(len(y), []).append(i)
+    by_sr: dict[int, list[int]] = {}
+    for i in range(len(copies)):
+        by_sr.setdefault(srs[i] if t == "pitch_shift" else 0, []).append(i)
     out: list[np.ndarray | None] = [None] * len(copies)
-    for n, idxs in by_len.items():
+    for sr_key, idxs in by_sr.items():
         if len(idxs) >= _DEVICE_MIN_GROUP:
-            ys = np.stack([copies[i] for i in idxs]).astype(np.float32)
+            ys = [np.asarray(copies[i], np.float32) for i in idxs]
             vals = np.asarray([params[i] for i in idxs], np.float64)
             if t == "time_stretch":
                 outs = effects_jax.time_stretch_batch(ys, vals)
             else:
-                outs = list(effects_jax.pitch_shift_batch(ys, sr, vals))
+                outs = effects_jax.pitch_shift_batch(ys, sr_key, vals)
             for i, o in zip(idxs, outs):
                 out[i] = np.asarray(o, np.float32)
         else:
@@ -337,7 +378,7 @@ def _vocoder_stage(copies: list[np.ndarray], t: str, params: list, sr: int) -> l
                     ).astype(np.float32)
                 else:
                     out[i] = golden_effects.pitch_shift(
-                        np.asarray(copies[i], np.float64), sr, float(params[i])
+                        np.asarray(copies[i], np.float64), srs[i], float(params[i])
                     ).astype(np.float32)
     return out
 
@@ -351,10 +392,11 @@ def _flush_device_batch(buf: list[dict], aug_specs: list[dict], preserve: bool) 
     for k, spec in enumerate(aug_specs):
         t = spec["type"]
         if t in ("time_stretch", "pitch_shift"):
-            copies = _vocoder_stage(copies, t, [c["drawn"][k][1] for c in buf], buf[0]["sr"])
+            copies = _vocoder_stage(copies, t, [c["drawn"][k][1] for c in buf],
+                                    [c["sr"] for c in buf])
         else:
             copies = [
-                _apply_drawn(y, c["sr"], t, c["drawn"][k][1]) for y, c in zip(copies, buf)
+                _APPLIERS[t](y, c["sr"], c["drawn"][k][1]) for y, c in zip(copies, buf)
             ]
     for y_aug, c in zip(copies, buf):
         if preserve:
@@ -373,16 +415,11 @@ def _run_device_tasks(tasks: list, n_augments: int, preserve: bool, device_batch
     for task in tasks:
         (path, class_name, child_seed, output_dir, _n, _p, target_sr,
          level_scale, aug_specs) = task
-        try:
-            y, sr = load_audio(path, sr=target_sr)
-        except Exception as exc:
-            logger.warning("Skipping %s: %s", path, exc)
+        decoded = _decode_and_write_original(path, class_name, output_dir, target_sr, level_scale)
+        if decoded is None:
             continue
+        y, sr, class_dir = decoded
         rng = np.random.default_rng(child_seed)
-        y = np.clip(y * level_scale, -1.0, 1.0)
-        class_dir = output_dir / class_name
-        class_dir.mkdir(parents=True, exist_ok=True)
-        write_wav(class_dir / f"{path.stem}.wav", y, sr)
         key = json.dumps(aug_specs, sort_keys=True)
         specs_of[key] = aug_specs
         buf = buffers.setdefault(key, [])

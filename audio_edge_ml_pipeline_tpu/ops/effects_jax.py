@@ -65,31 +65,54 @@ def _irfft_bases(n_fft: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 @lru_cache(maxsize=None)
+def _device_consts(n_fft: int):
+    """Device-resident irfft bases / windows, shared by every (n, S)
+    kernel instance (one upload, not one per compiled shape)."""
+    import jax.numpy as jnp
+
+    re_b, im_b, win = _irfft_bases(n_fft)
+    return (jnp.asarray(re_b), jnp.asarray(im_b), jnp.asarray(win),
+            jnp.asarray((win.astype(np.float64) ** 2).astype(np.float32)))
+
+
+_LEN_QUANT = 8 * _HOP  # pad clip lengths up to 4096-sample buckets
+
+
+@lru_cache(maxsize=None)
 def _stretch_kernel(n: int, S: int):
-    """Jitted (y (B, n), rates (B,)) -> stretched (B, out_len) batch
-    stretch, cached per static (clip length, padded step count)."""
+    """Jitted (y (B, n), lo, frac, valid, t_valid) -> (B, out_len) batch
+    stretch, cached per static (PADDED clip length, padded step count).
+    Clips shorter than n are zero-padded; t_valid carries each clip's true
+    frame count and frames past it are masked to zero, so one compiled
+    program serves a whole 4096-sample length bucket (variable-length
+    folders and post-stretch pitch stages would otherwise compile per
+    distinct length — 20-60 s each on a remote backend)."""
     import jax
     import jax.numpy as jnp
 
     from . import dsp
 
     HI = jax.lax.Precision.HIGHEST
-    re_b, im_b, win = _irfft_bases(_N_FFT)
-    re_b_j, im_b_j = jnp.asarray(re_b), jnp.asarray(im_b)
-    win_j = jnp.asarray(win)
-    win_sq = jnp.asarray((win.astype(np.float64) ** 2).astype(np.float32))
+    re_b_j, im_b_j, win_j, win_sq = _device_consts(_N_FFT)
     T = dsp.n_frames_for(n, _HOP)
     F = _N_FFT // 2 + 1
     phi_adv = jnp.asarray(np.linspace(0.0, np.pi * _HOP, F).astype(np.float32))
     two_pi = np.float32(2.0 * np.pi)
 
     @jax.jit
-    def run(y, lo, frac, valid):
+    def run(y, lo, frac, valid, t_valid):
         # lo / frac / valid are host-computed in float64 (module functions
         # below): an on-device f32 `i * rate` lands on the wrong side of
         # integer frame boundaries for rates like 1.05 (measured max|d|
         # 0.25 at the flipped steps vs the float64 oracle's arange)
         re, im = dsp.stft_re_im(y, _N_FFT, _HOP)  # (B, T, F)
+        # frames at t >= the clip's true frame count are masked to zero:
+        # the oracle's STFT has exactly t_valid frames (+ a zero pad
+        # column), while the padded signal's boundary frames still overlap
+        # the real tail
+        fmask = (jnp.arange(T)[None, :] < t_valid[:, None])[:, :, None]
+        re = jnp.where(fmask, re, 0.0)
+        im = jnp.where(fmask, im, 0.0)
         ang = jnp.arctan2(im, re)
         mag = jnp.sqrt(re * re + im * im)
         # one zero column past the end, like the oracle's D_pad (its angle
@@ -138,30 +161,43 @@ def _stretch_kernel(n: int, S: int):
     return run
 
 
-def time_stretch_batch(y: np.ndarray, rates: np.ndarray) -> list[np.ndarray]:
-    """Stretch a batch of equal-length clips, each by its own rate.
+def time_stretch_batch(y, rates: np.ndarray) -> list[np.ndarray]:
+    """Stretch a batch of clips, each by its own rate.
 
-    y (B, n) float; rates (B,) in (0, inf). Returns a list of B float32
-    arrays of length round(n / rate_b) — the ops/golden/effects.py
-    time_stretch contract, batched.
+    y: (B, n) array, or a list of 1-D clips with DIFFERING lengths (they
+    share one compiled program per 4096-sample length bucket via zero
+    padding + per-clip frame masks). rates (B,) in (0, inf). Returns a
+    list of B float32 arrays of length round(n_b / rate_b) — the
+    ops/golden/effects.py time_stretch contract, batched.
     """
     import jax
 
-    y = np.ascontiguousarray(np.asarray(y, np.float32))
+    if isinstance(y, np.ndarray):
+        if y.ndim != 2:
+            raise ValueError("time_stretch_batch expects a (B, n) batch or a list of clips")
+        clips = [np.asarray(c, np.float32) for c in y]
+    else:
+        clips = [np.ascontiguousarray(np.asarray(c, np.float32)) for c in y]
+        if any(c.ndim != 1 for c in clips):
+            raise ValueError("time_stretch_batch expects a (B, n) batch or a list of 1-D clips")
     rates = np.asarray(rates, np.float64)
-    if y.ndim != 2:
-        raise ValueError("time_stretch_batch expects a (B, n) batch")
     if np.any(rates <= 0):
         raise ValueError("rates must be positive")
     from . import dsp
 
-    T = dsp.n_frames_for(y.shape[1], _HOP)
+    B = len(clips)
+    n_b = np.array([len(c) for c in clips])
+    n_pad = int(-(-n_b.max() // _LEN_QUANT) * _LEN_QUANT)
+    Y = np.zeros((B, n_pad), np.float32)
+    for b, c in enumerate(clips):
+        Y[b, : len(c)] = c
+    T = dsp.n_frames_for(n_pad, _HOP)
+    t_valid = np.array([dsp.n_frames_for(int(nb), _HOP) for nb in n_b], np.int32)
     # per-clip step grids in float64 — EXACTLY the oracle's
-    # np.arange(0, T, rate), padded to a shared (compile-shared) S
-    grids = [np.arange(0.0, T, r) for r in rates]
+    # np.arange(0, T_b, rate), padded to a shared (compile-shared) S
+    grids = [np.arange(0.0, float(tb), r) for tb, r in zip(t_valid, rates)]
     S = max(len(g) for g in grids)
     S = -(-S // 32) * 32  # quantize up: nearby rate minima share a compile
-    B = len(y)
     lo = np.full((B, S), T, np.int32)  # padding reads the zero column
     frac = np.zeros((B, S), np.float32)
     valid = np.zeros((B, S), bool)
@@ -170,30 +206,34 @@ def time_stretch_batch(y: np.ndarray, rates: np.ndarray) -> list[np.ndarray]:
         frac[b, : len(g)] = (g - np.floor(g)).astype(np.float32)
         valid[b, : len(g)] = True
     out = np.asarray(jax.device_get(
-        _stretch_kernel(y.shape[1], S)(y, lo, frac, valid)
+        _stretch_kernel(n_pad, S)(Y, lo, frac, valid, t_valid)
     ))
-    lengths = np.round(y.shape[1] / rates).astype(int)
+    lengths = np.round(n_b / rates).astype(int)
     return [out[b, : lengths[b]] for b in range(B)]
 
 
-def pitch_shift_batch(y: np.ndarray, sr: int, n_steps: np.ndarray,
-                      bins_per_octave: int = 12) -> np.ndarray:
+def pitch_shift_batch(y, sr: int, n_steps: np.ndarray,
+                      bins_per_octave: int = 12) -> list[np.ndarray]:
     """Shift each clip's pitch by its own semitone amount, duration
     preserved. Device-batched stretch + per-clip host polyphase resample
     (the resample ratio differs per clip, and audio_io.resample's
-    snapped-ratio FIR is ~2 ms/clip — not worth a device program)."""
+    snapped-ratio FIR is ~2 ms/clip — not worth a device program).
+
+    y: (B, n) array or a list of 1-D clips with differing lengths.
+    Returns a list of B float32 arrays, each its input clip's length.
+    """
     from ..data.audio_io import resample
 
-    y = np.asarray(y, np.float32)
+    clips = [np.asarray(c, np.float32) for c in y]
     n_steps = np.asarray(n_steps, np.float64)
     rates = 2.0 ** (-n_steps / bins_per_octave)
-    stretched = time_stretch_batch(y, rates)
-    n = y.shape[1]
-    out = np.empty((len(y), n), np.float32)
-    for b, (seg, rate) in enumerate(zip(stretched, rates)):
+    stretched = time_stretch_batch(clips, rates)
+    out = []
+    for c, seg, rate in zip(clips, stretched, rates):
+        n = len(c)
         shifted = resample(seg.astype(np.float32), int(round(sr / rate)), sr)
         if len(shifted) >= n:
-            out[b] = shifted[:n]
+            out.append(shifted[:n])
         else:
-            out[b] = np.pad(shifted, (0, n - len(shifted)))
+            out.append(np.pad(shifted, (0, n - len(shifted))))
     return out

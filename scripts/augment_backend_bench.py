@@ -65,7 +65,9 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as td:
         root = Path(td)
         make_dataset(root / "src", args.files, args.duration)
-        n_copies = args.files * args.copies
+        # count what make_dataset actually wrote (3 * (files // 3))
+        n_written = sum(1 for _ in (root / "src").rglob("*.wav"))
+        n_copies = n_written * args.copies
 
         t_host = run_backend(root / "src", root / "host_out", "host", args.copies)
         # first device run pays the vocoder compile; run twice, report warm

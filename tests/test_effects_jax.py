@@ -41,10 +41,32 @@ def test_pitch_shift_batch_matches_oracle():
     y = _clips(4, 24000, seed=1)
     steps = np.array([-3.0, -0.5, 1.7, 3.0])
     out = effects_jax.pitch_shift_batch(y, 16000, steps)
-    assert out.shape == y.shape  # duration preserved
+    assert all(len(o) == y.shape[1] for o in out)  # duration preserved
     for b in range(len(y)):
         ref = gold.pitch_shift(y[b].astype(np.float64), 16000, float(steps[b]))
         assert np.max(np.abs(out[b] - ref)) < 2e-3
+
+
+def test_variable_length_batch_matches_oracle():
+    """Clips of DIFFERING lengths share one padded program per 4096-sample
+    bucket (per-clip frame masks); each clip must still match the oracle
+    run at its own exact length."""
+    rng = np.random.default_rng(3)
+    lens = [15000, 17777, 24000, 24001]
+    clips = [(0.3 * rng.standard_normal(n)).astype(np.float32) for n in lens]
+    rates = np.array([0.9, 1.1, 0.85, 1.05])
+    outs = effects_jax.time_stretch_batch(clips, rates)
+    for c, r, o in zip(clips, rates, outs):
+        ref = gold.time_stretch(c.astype(np.float64), float(r))
+        assert len(o) == len(ref)
+        assert np.max(np.abs(o - ref)) < 2e-3
+    # pitch shift over the same ragged batch
+    steps = np.array([2.0, -1.0, 0.7, -2.5])
+    ps = effects_jax.pitch_shift_batch(clips, 16000, steps)
+    for c, st, o in zip(clips, steps, ps):
+        ref = gold.pitch_shift(c.astype(np.float64), 16000, float(st))
+        assert len(o) == len(c)
+        assert np.max(np.abs(o - ref)) < 2e-3
 
 
 def test_time_stretch_batch_rejects_bad_input():
@@ -125,3 +147,19 @@ def test_device_backend_matches_host_with_vocoder(tmp_path):
     for k in host:
         assert host[k].shape == dev[k].shape, k
         assert np.max(np.abs(host[k] - dev[k])) < 5e-3, k
+
+
+def test_device_backend_stretch_then_pitch(tmp_path):
+    """Chained vocoder stages: after time_stretch every copy has a distinct
+    length (continuous random rates), and the following pitch_shift stage
+    must STILL batch on device (ragged batching) rather than degrade to
+    per-clip oracle calls — and match the host backend."""
+    _make_dataset(tmp_path / "src", n_files=3)
+    augs = [{"type": "time_stretch"}, {"type": "pitch_shift"}]
+    host = _wavs(_run_backend(tmp_path, "host_out", "host", augs))
+    dev = _wavs(_run_backend(tmp_path, "dev_out", "device", augs, device_batch=6))
+    assert host.keys() == dev.keys()
+    for k in host:
+        assert host[k].shape == dev[k].shape, k
+        # two chained f32 vocoder stages compound the ~1e-3 tolerance
+        assert np.max(np.abs(host[k] - dev[k])) < 1e-2, k
