@@ -388,6 +388,16 @@ def _flush_device_batch(buf: list[dict], aug_specs: list[dict], preserve: bool) 
     (vocoder stages device-batched), then trim/pad and write."""
     if not buf:
         return
+    # Draws are deferred to flush time: buffering full-length float64 noise
+    # vectors (gaussian_noise/pdm_hiss, ~640 KB/stage for a 5 s clip) across
+    # device_batch x n_spec_keys pending copies was a multi-GB transient.
+    # Each copy re-creates its rng from the state snapshot taken when it was
+    # enqueued, so the parameter stream is still bit-identical to the host
+    # backend's.
+    for c in buf:
+        r = np.random.default_rng()
+        r.bit_generator.state = c["rng_state"]
+        c["drawn"] = _predraw_params(r, aug_specs, c["orig_len"])
     copies = [c["y"] for c in buf]
     for k, spec in enumerate(aug_specs):
         t = spec["type"]
@@ -424,9 +434,15 @@ def _run_device_tasks(tasks: list, n_augments: int, preserve: bool, device_batch
         specs_of[key] = aug_specs
         buf = buffers.setdefault(key, [])
         for i in range(1, n_augments + 1):
+            # snapshot the rng BEFORE this copy's draws, then advance it by
+            # actually drawing (PCG64.advance can't be used: the ziggurat
+            # gaussian consumes a data-dependent number of raw outputs); the
+            # throwaway draw is ~0.5 ms/copy, the flush re-draw is the real
+            # one. y is shared, not copied: no applier mutates its input.
+            state = rng.bit_generator.state
+            _predraw_params(rng, aug_specs, len(y))
             buf.append({
-                "y": y.copy(), "sr": sr, "orig_len": len(y),
-                "drawn": _predraw_params(rng, aug_specs, len(y)),
+                "y": y, "sr": sr, "orig_len": len(y), "rng_state": state,
                 "out_path": class_dir / f"{path.stem}_aug{i:03d}.wav",
             })
         if len(buf) >= device_batch:
@@ -445,6 +461,15 @@ def run(cfg: dict) -> None:
     default_augs = cfg["augmentations"]
     class_overrides = cfg["class_overrides"]
     level_scale = 10.0 ** (float(cfg["level_match_db"]) / 20.0)
+
+    # re-validate here (not only in load_config): programmatic cfgs may skip
+    # load_config, and an unknown type must fail BEFORE any output is
+    # written — the device backend would otherwise KeyError mid-run after
+    # originals were already on disk
+    validate_aug_specs(default_augs)
+    for cls, override in class_overrides.items():
+        specs = (override or {}).get("augmentations") or []
+        validate_aug_specs(specs, where=f"class_overrides[{cls!r}]")
 
     output_dir.mkdir(parents=True, exist_ok=True)
     samples = list(_iter_samples(cfg))

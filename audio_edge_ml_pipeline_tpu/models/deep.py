@@ -228,7 +228,7 @@ class EfficientNetTeacherModule(nn.Module):
         return nn.Dense(self.n_classes, name="head")(emb)
 
 
-def _build_efficientnet_teacher(a: dict):
+def _check_teacher_revision(a: dict) -> None:
     # Arch revision gate: bundles saved before the Keras-faithful rework
     # (silu activations + squeeze-excite) load cleanly by name+shape into
     # the new module but compute through the wrong activation — reject them
@@ -241,6 +241,10 @@ def _build_efficientnet_teacher(a: dict):
             "teacher or re-convert the checkpoint with "
             "tools/convert_backbone_weights.py."
         )
+
+
+def _build_efficientnet_teacher(a: dict):
+    _check_teacher_revision(a)
     return EfficientNetTeacherModule(a["n_classes"], a["dropout"], a.get("image_size", 224))
 
 
@@ -349,7 +353,12 @@ def transfer_pretrained(params, collections: dict, path: Path):
     Accepts any bundle written by save_model_bundle_flat, including converted
     backbone checkpoints (tools/convert_backbone_weights.py --bundle).
     Returns (params, collections, n_params_transferred)."""
-    _, flat, _, _ = load_model_bundle(Path(path))
+    donor_arch, flat, _, _ = load_model_bundle(Path(path))
+    if donor_arch.get("type") == "efficientnet_teacher":
+        # same revision gate as load_model: a relu6-era teacher bundle has
+        # byte-identical module names + shapes, so every tensor would
+        # transfer silently and then compute through silu
+        _check_teacher_revision(donor_arch)
     template_flat = _flatten_params(params)
     transferred = 0
     for k in template_flat:

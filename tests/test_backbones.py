@@ -214,7 +214,9 @@ def test_forward_equivalence_real_keras_efficientnet_b0(tmp_path):
     main(["--src", str(src), "--out", str(out_npz), "--arch", "efficientnet_b0",
           "--input-size", "96"])
     data = np.load(out_npz)
-    assert len(data.files) == 309  # 52 conv-bn units x 5 + 16 SE blocks x 4
+    # 49 conv-bn units (stem + top + 15 expand-blocks x 3 + 1 no-expand
+    # block x 2) x 5 tensors + 16 SE blocks x 4 tensors = 309
+    assert len(data.files) == 309
 
     fx = EfficientNetB0()
     variables = fx.init(jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)))

@@ -163,3 +163,15 @@ def test_device_backend_stretch_then_pitch(tmp_path):
         assert host[k].shape == dev[k].shape, k
         # two chained f32 vocoder stages compound the ~1e-3 tolerance
         assert np.max(np.abs(host[k] - dev[k])) < 1e-2, k
+
+
+def test_unknown_type_fails_before_any_output(tmp_path):
+    """A programmatic cfg (run() without load_config) with an unknown
+    augmentation type must fail with the descriptive ValueError BEFORE any
+    file is written — the device backend used to KeyError mid-run after the
+    originals were already on disk."""
+    _make_dataset(tmp_path / "src", n_files=1)
+    for backend in ("host", "device"):
+        with pytest.raises(ValueError, match="Unknown augmentation type"):
+            _run_backend(tmp_path, f"{backend}_bad", backend, [{"type": "reverb"}])
+        assert not list((tmp_path / f"{backend}_bad").rglob("*.wav"))

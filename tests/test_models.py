@@ -227,3 +227,22 @@ def test_efficientnet_teacher_two_phase(spec_data, tmp_path):
     assert rec is not None
     loaded = get_model("efficientnet_teacher").load(tmp_path / "t" / "model.flax.npz")
     np.testing.assert_array_equal(loaded.predict(Xva), trainer.predict(Xva))
+
+
+def test_transfer_rejects_legacy_teacher_bundle(tmp_path):
+    """A relu6-era efficientnet_teacher bundle has byte-identical module
+    names + shapes, so a by-name warm start would silently transfer weights
+    that then compute through silu — transfer_pretrained must apply the same
+    arch-revision gate as load_model."""
+    from audio_edge_ml_pipeline_tpu.models.deep import (
+        save_model_bundle_flat, transfer_pretrained,
+    )
+
+    p = tmp_path / "legacy_teacher.npz"
+    save_model_bundle_flat(
+        p, {"type": "efficientnet_teacher", "n_classes": 3, "dropout": 0.2},
+        {"p/head/kernel": np.zeros((4, 3), np.float32)},
+        np.zeros(4, np.float32), np.ones(4, np.float32),
+    )
+    with pytest.raises(ValueError, match="arch revision"):
+        transfer_pretrained({}, {}, p)
