@@ -253,7 +253,12 @@ class _CVEngine:
         W = self._w_dev()
         shared = Z is None
         Xin = self.X if shared else Z
-        fn = self.k.svm_cv(shared, kernel, gamma_mode, _DEFAULT_ITERS)
+        # honor a gridded solver budget: iters is a static kernel arg, so a
+        # grid over iters compiles one program per distinct value (same as
+        # kernel/gamma_mode) — silently pinning _DEFAULT_ITERS would score
+        # every iters cell identically and pick an arbitrary winner
+        iters = int(cell.get("iters", _DEFAULT_ITERS))
+        fn = self.k.svm_cv(shared, kernel, gamma_mode, iters)
         if self.mesh is not None and not shared and isinstance(Xin, np.ndarray):
             # host-provided Z only; eval_cell's cached Z is already sharded
             (Xin,) = self._maybe_shard(Xin)

@@ -151,3 +151,30 @@ def test_n_components_pca_alias_matches_n_components(data):
     s_alias = engine.eval_cell("pca_lda", {"n_components_pca": 8}, "f1_macro")
     s_plain = engine.eval_cell("pca_lda", {"n_components": 8}, "f1_macro")
     np.testing.assert_allclose(s_alias, s_plain)
+
+
+def test_gridded_iters_reaches_the_solver(data):
+    """'iters' is an accepted grid key, so it must actually reach the
+    compiled solver — a pinned default would score every iters cell
+    identically and pick an arbitrary winner (the silent-no-op failure mode
+    validate_grid exists to prevent). OvO votes on the easy synthetic can
+    coincide even for a starved solve, so assert on the forwarded budget and
+    on the raw decision values instead of fold scores."""
+    X, y = data
+    fold_of = sj.stratified_fold_ids(y, 4, seed=0)
+    engine = sj._CVEngine(X, y.astype(np.int32), fold_of, int(y.max()) + 1)
+    seen = []
+    orig = engine.k.svm_cv
+    engine.k.svm_cv = lambda shared, kern, gm, iters: (seen.append(iters), orig(shared, kern, gm, iters))[1]
+    try:
+        engine.eval_svm({"C": 1.0, "iters": 7}, "f1_macro")
+        engine.eval_svm({"C": 1.0}, "f1_macro")
+    finally:
+        engine.k.svm_cv = orig
+    assert seen == [7, sj._DEFAULT_ITERS]
+    # and the budget genuinely changes the compiled program's output
+    pairs, idx, ypm, cw = engine._ovo_cached()
+    u = cw.astype(np.float32)
+    dec1 = np.asarray(orig(True, "rbf", "scale", 1)(X, engine._w_dev(), idx, ypm, u, np.float32(0)))
+    dec400 = np.asarray(orig(True, "rbf", "scale", sj._DEFAULT_ITERS)(X, engine._w_dev(), idx, ypm, u, np.float32(0)))
+    assert np.max(np.abs(dec1 - dec400)) > 1e-3
