@@ -24,8 +24,21 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def get_mesh(n_devices: Optional[int] = None, model_parallel: int = 1, devices=None) -> Mesh:
-    """Build a ("data", "model") mesh over the available devices."""
+def get_mesh(n_devices: Optional[int] = None, model_parallel: int = 1, devices=None,
+             dcn_replicas: int = 1) -> Mesh:
+    """Build a ("data", "model") mesh over the available devices.
+
+    ``dcn_replicas > 1`` adds a leading "replica" axis for multi-slice
+    pods (SURVEY.md §5: "1-D data mesh over ICI with optional DCN axis"):
+    the mesh becomes ("replica", "data", "model") with "replica" laid out
+    across slice boundaries (DCN) and "data"/"model" within a slice (ICI),
+    so the per-step gradient psum reduces hierarchically — reduce-scatter
+    over ICI first, one small cross-slice all-reduce over DCN. On real
+    multi-slice hardware the layout comes from
+    ``mesh_utils.create_hybrid_device_mesh`` (slice-granule placement);
+    single-slice or virtual-CPU backends fall back to a plain reshape,
+    which keeps the axis semantics compilable anywhere.
+    """
     devices = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
         if n_devices > len(devices):
@@ -39,15 +52,45 @@ def get_mesh(n_devices: Optional[int] = None, model_parallel: int = 1, devices=N
             )
         devices = devices[:n_devices]
     n = len(devices)
-    if n % model_parallel != 0:
-        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
-    arr = np.array(devices).reshape(n // model_parallel, model_parallel)
-    return Mesh(arr, axis_names=("data", "model"))
+    if n % (model_parallel * dcn_replicas) != 0:
+        raise ValueError(
+            f"{n} devices not divisible by model_parallel={model_parallel} "
+            f"x dcn_replicas={dcn_replicas}"
+        )
+    data = n // (model_parallel * dcn_replicas)
+    if dcn_replicas == 1:
+        arr = np.array(devices).reshape(data, model_parallel)
+        return Mesh(arr, axis_names=("data", "model"))
+    try:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (1, data, model_parallel), (dcn_replicas, 1, 1), devices=devices
+        )
+    except Exception:
+        # virtual CPU devices / single-slice backends carry no slice
+        # topology — axis placement is simulated but the program is
+        # identical, so tests and dryruns exercise the real sharding
+        arr = np.array(devices).reshape(dcn_replicas, data, model_parallel)
+    return Mesh(arr, axis_names=("replica", "data", "model"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis over the data axis."""
+    """Shard the leading (batch) axis over the data axis — and over the
+    cross-slice replica axis too when the mesh has one (each slice handles
+    a contiguous shard of the global batch)."""
+    if "replica" in mesh.axis_names:
+        return NamedSharding(mesh, P(("replica", "data")))
     return NamedSharding(mesh, P("data"))
+
+
+def data_axis_size(mesh: Mesh) -> int:
+    """How many ways batch_sharding splits the batch (replica x data on a
+    multi-slice mesh) — the divisor a global batch size must respect."""
+    n = mesh.shape["data"]
+    if "replica" in mesh.axis_names:
+        n *= mesh.shape["replica"]
+    return n
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -310,3 +310,54 @@ def test_bench_gate_failure_emits_honest_zero(tmp_path):
     assert result["value"] == 0.0 and result["vs_baseline"] == 0.0
     assert "unreachable" in result["error"]
     assert result["metric"] == "fsc22 mel+CNN clips/sec/chip"
+
+
+def test_hybrid_dcn_replica_mesh_training_step():
+    """get_mesh(dcn_replicas=2) adds the cross-slice DCN axis (SURVEY §5:
+    "optional DCN axis for multi-slice"): the mesh becomes
+    ("replica", "data", "model"), the batch shards over replica x data, and
+    the full sharded train step must reproduce the single-device step."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from audio_edge_ml_pipeline_tpu.parallel import mesh as pm
+
+    mesh = pm.get_mesh(8, model_parallel=2, dcn_replicas=2)
+    assert mesh.axis_names == ("replica", "data", "model")
+    assert dict(mesh.shape) == {"replica": 2, "data": 2, "model": 2}
+    assert pm.data_axis_size(mesh) == 4
+    assert pm.batch_sharding(mesh).spec == jax.sharding.PartitionSpec(("replica", "data"))
+    with pytest.raises(ValueError, match="not divisible"):
+        pm.get_mesh(8, model_parallel=2, dcn_replicas=3)
+
+    rng = np.random.default_rng(0)
+    params0 = {"w1": (0.1 * rng.standard_normal((12, 16))).astype(np.float32),
+               "w2": (0.1 * rng.standard_normal((16, 4))).astype(np.float32)}
+    X = rng.standard_normal((16, 12)).astype(np.float32)
+    y = (np.arange(16) % 4).astype(np.int32)
+    opt = optax.sgd(0.1)
+
+    def apply_fn(p, x, _rng):
+        return jnp.maximum(x @ p["w1"], 0.0) @ p["w2"]
+
+    # single-device reference step (same math, no mesh)
+    def ref_step(p, s, x, yy):
+        def loss_fn(pp):
+            logits = apply_fn(pp, x, None)
+            loss = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(logits, yy))
+            return loss
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        up, s = opt.update(g, s, p)
+        return optax.apply_updates(p, up), loss
+
+    p_ref, loss_ref = jax.jit(ref_step)(params0, opt.init(params0), X, y)
+
+    p, s = pm.place_train_state(params0, opt.init(params0), mesh)
+    step = pm.make_sharded_train_step(apply_fn, opt, mesh)
+    with mesh:
+        p, s, loss, _acc = step(p, s, pm.shard_batch(X, mesh),
+                                pm.shard_batch(y, mesh), jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(loss), np.asarray(loss_ref), atol=1e-5)
+    for k in params0:
+        np.testing.assert_allclose(np.asarray(p[k]), np.asarray(p_ref[k]), atol=1e-5)
