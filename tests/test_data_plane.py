@@ -396,3 +396,75 @@ def test_classical_mixed_lengths_exact(tmp_path):
         scale = np.maximum(np.abs(ref), 1.0)
         rel = np.max(np.abs(fs.features[i] - ref) / scale)
         assert rel <= 1e-4, f"clip {i}: {rel:.2e}"
+
+
+def _riff(fmt_tag, bits, rate, payload, channels=1, extensible=False,
+          pre_chunks=b"", data_size=None):
+    """Hand-assemble a RIFF/WAVE byte string (no library involved) so the
+    reader is tested against the container spec, not against write_wav."""
+    import struct
+
+    block = channels * bits // 8
+    if extensible:
+        # 40-byte fmt: cbSize=22, valid bits, channel mask, SubFormat GUID
+        guid = struct.pack("<H", fmt_tag) + b"\x00\x00" + bytes(12)
+        fmt = struct.pack("<HHIIHHHHI", 0xFFFE, channels, rate, rate * block,
+                          block, bits, 22, bits, 0) + guid
+    else:
+        fmt = struct.pack("<HHIIHH", fmt_tag, channels, rate, rate * block, block, bits)
+    chunks = pre_chunks
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if len(fmt) % 2:
+        chunks += b"\x00"
+    chunks += b"data" + struct.pack("<I", data_size if data_size is not None else len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_reader_format_matrix(tmp_path):
+    """Decode every container variant the codec claims (docstring: RIFF PCM
+    8/16/24/32-bit + IEEE float, extensible, word-aligned stray chunks)
+    from hand-assembled bytes with known sample values."""
+    import struct
+
+    from audio_edge_ml_pipeline_tpu.data.audio_io import read_wav
+
+    ref = np.array([0.0, 0.5, -0.5, 0.25], np.float64)
+
+    def check(name, buf, atol, expect=ref):
+        p = tmp_path / name
+        p.write_bytes(buf)
+        x, sr = read_wav(p)
+        assert sr == 16000
+        np.testing.assert_allclose(x[:, 0], expect, atol=atol, err_msg=name)
+
+    i16 = struct.pack("<4h", *(int(v * 32768) if v < 0 else int(v * 32767) for v in ref))
+    check("i16.wav", _riff(1, 16, 16000, i16), 1 / 32000)
+    i8 = bytes(int(v * 128) + 128 if v < 0 else int(v * 127) + 128 for v in ref)
+    check("i8.wav", _riff(1, 8, 16000, i8), 1 / 120)
+    i32 = struct.pack("<4i", *(int(v * 2147483647) for v in ref))
+    check("i32.wav", _riff(1, 32, 16000, i32), 1e-6)
+    i24 = b"".join(int(v * 8388607).to_bytes(3, "little", signed=True) for v in ref)
+    check("i24.wav", _riff(1, 24, 16000, i24), 1e-6)
+    check("f32.wav", _riff(3, 32, 16000, np.asarray(ref, "<f4").tobytes()), 1e-7)
+    check("f64.wav", _riff(3, 64, 16000, np.asarray(ref, "<f8").tobytes()), 1e-7)
+    # WAVE_FORMAT_EXTENSIBLE wrapping PCM16 and FLOAT32
+    check("ext_pcm.wav", _riff(1, 16, 16000, i16, extensible=True), 1 / 32000)
+    check("ext_f32.wav", _riff(3, 32, 16000, np.asarray(ref, "<f4").tobytes(),
+                               extensible=True), 1e-7)
+    # stray odd-sized chunk before fmt/data must be skipped via word alignment
+    stray = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    check("stray.wav", _riff(1, 16, 16000, i16, pre_chunks=stray), 1 / 32000)
+    # data chunk whose declared size overruns the file: clamp, don't crash
+    check("trunc.wav", _riff(1, 16, 16000, i16, data_size=1 << 20), 1 / 32000)
+    # stereo interleave -> (n, 2)
+    st = struct.pack("<8h", *[int(v * 32767) for pair in zip(ref, -ref) for v in pair])
+    p = tmp_path / "stereo.wav"
+    p.write_bytes(_riff(1, 16, 16000, st, channels=2))
+    x, _ = read_wav(p)
+    assert x.shape == (4, 2)
+    np.testing.assert_allclose(x[:, 1], -x[:, 0], atol=1 / 16000)
+    # non-WAV bytes are a clean ValueError
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"ID3\x00 not audio")
+    with pytest.raises(ValueError, match="RIFF"):
+        read_wav(bad)
