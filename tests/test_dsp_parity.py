@@ -270,3 +270,66 @@ def test_classical_vector_group_parity(batch22k):
     bw = np.asarray(dsp.spectral_bandwidth_from_mag(Smag, sr, 1024))
     bw_ref = np.stack([g.spectral_bandwidth(y[i], sr, 1024, 512)[0] for i in range(4)])
     assert np.max(np.abs(bw - bw_ref) / np.maximum(bw_ref, 1.0)) <= 1e-4
+
+
+def test_mel_parity_on_degenerate_signals():
+    """Edge signals stress the per-clip reductions that random clips never
+    do: all-zero (power_to_db ref=max hits the amin floor everywhere,
+    min-max normalize divides by a zero range), DC (all energy in bin 0),
+    full-scale square at Nyquist/4, and an impulse (center padding puts
+    half the frame outside the signal). The JAX path must match the
+    float64 oracle within the 1e-5 gate and stay NaN-free on all of them."""
+    sr, n = 16000, 16000
+    t = np.arange(n) / sr
+    clips = np.stack([
+        np.zeros(n, np.float32),
+        np.full(n, 0.5, np.float32),
+        np.sign(np.sin(2 * np.pi * 2000 * t)).astype(np.float32),
+        np.concatenate([[1.0], np.zeros(n - 1)]).astype(np.float32),
+        (1e-6 * np.sin(2 * np.pi * 440 * t)).astype(np.float32),  # near-silence
+    ])
+    out = np.asarray(dsp.mel_spec_feature(jnp.asarray(clips), sr=sr))
+    assert np.isfinite(out).all()
+    ref = _golden_stack(lambda y: g.mel_spec_feature(y, sr=sr), clips.astype(np.float64))
+    assert np.isfinite(ref).all()
+    assert np.max(np.abs(out - ref)) <= 1e-5
+
+
+def test_classical_vector_on_degenerate_signals():
+    """The 302-d classical stack divides by spectral sums (centroid,
+    bandwidth, flatness) and clip RMS — silence and DC are the divide-by-
+    zero corners. The full vector must be finite; parity is asserted with
+    spectral_contrast excluded: contrast is log-ratios of SORTED bin
+    magnitudes per band, and on a clip whose upper bands hold zero signal
+    those magnitudes are pure float rounding noise — f32 and float64 noise
+    floors differ by orders of magnitude, so the group is legitimately
+    undefined there (librosa would be equally noise-determined; even an
+    XLA codegen flag shifts the f32 values). Every other group is
+    well-conditioned and must match."""
+    sr, n = 22050, 22050
+    t = np.arange(n) / sr
+    clips = np.stack([
+        np.zeros(n, np.float32),
+        np.full(n, 0.25, np.float32),
+        np.sign(np.sin(2 * np.pi * 1000 * t)).astype(np.float32),
+    ])
+    full = np.asarray(dsp.classical_feature_vector(jnp.asarray(clips), sr=sr))
+    assert full.shape == (3, 302) and np.isfinite(full).all()
+
+    from audio_edge_ml_pipeline_tpu.ops.golden import librosa_ref as lr
+
+    feats = tuple(k for k in lr._ALL_CLASSICAL if k != "spectral_contrast")
+    out = np.asarray(dsp.classical_feature_vector(jnp.asarray(clips), sr=sr, features=feats))
+    ref = _golden_stack(
+        lambda y: g.classical_feature_vector(y, sr=sr, features=feats),
+        clips.astype(np.float64),
+    )
+    scale = np.maximum(np.abs(ref), 1.0)
+    rel = np.max(np.abs(out - ref) / scale, axis=1)
+    # silence and the full-scale square are well-conditioned everywhere;
+    # the DC clip's spectral_bandwidth is (f-centroid)^2-weighted window
+    # sidelobe leakage — high-bin noise floor amplified by f^2 — so f32 vs
+    # float64 legitimately differ at the percent level there (measured
+    # 1.2% on the bandwidth mean, everything else <= 6e-4)
+    assert rel[0] <= 2e-4 and rel[2] <= 2e-4, rel
+    assert rel[1] <= 2e-2, rel
