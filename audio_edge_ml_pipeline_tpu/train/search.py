@@ -224,8 +224,9 @@ class MedianPruner:
 
 
 class SuccessiveHalvingPruner:
-    """Rung-based successive halving (the role of Optuna's HyperbandPruner):
-    at rungs r0*eta^k a trial survives only in the top 1/eta of peers."""
+    """Rung-based successive halving (a single Hyperband bracket): at rungs
+    r0*eta^k a trial survives only in the top 1/eta of peers. HyperbandPruner
+    below runs several of these brackets with staggered first rungs."""
 
     def __init__(self, min_resource: int = 5, eta: int = 3):
         self.min_resource = min_resource
@@ -259,6 +260,78 @@ class SuccessiveHalvingPruner:
             return value < cutoff
         cutoff = float(np.quantile(peers, 1.0 / self.eta))
         return value > cutoff
+
+
+class HyperbandPruner:
+    """Bracketed Hyperband (Li et al. 2018, JMLR 18:185) in the role of
+    Optuna's HyperbandPruner (reference tune.py:497-510): several
+    successive-halving brackets run side by side, where bracket ``s`` holds
+    its first cull until step ``min_resource * eta**s``. Aggressive brackets
+    (early first rung) admit many trials; lenient brackets admit few but let
+    slow starters train long enough to show their worth — a trial that would
+    die at step ``min_resource`` in bracket 0 survives untouched in a
+    lenient bracket until its (much later) first rung.
+
+    Trials are assigned to brackets deterministically by trial number,
+    proportionally to Hyperband's allocation weights (bracket ``s`` gets
+    ``eta**(s_max - s)`` of every ``sum`` consecutive trials), mirroring
+    Optuna's budget-weighted assignment. Culling within a bracket compares
+    only against same-bracket peers.
+    """
+
+    def __init__(self, min_resource: int = 5, max_resource: int = 81, eta: int = 3):
+        self.min_resource = int(min_resource)
+        self.max_resource = int(max_resource)
+        self.eta = int(eta)
+        # bracket s's first rung is min_resource * eta^s; brackets whose
+        # first rung would exceed max_resource never get to cull anything
+        # and are not created
+        self._first_rungs: list[int] = []
+        r = self.min_resource
+        while r <= self.max_resource:
+            self._first_rungs.append(r)
+            r *= self.eta
+        if not self._first_rungs:
+            self._first_rungs = [self.min_resource]
+        n = len(self._first_rungs)
+        self._weights = [self.eta ** (n - 1 - s) for s in range(n)]
+        self._cum = np.cumsum(self._weights)
+
+    @property
+    def n_brackets(self) -> int:
+        return len(self._first_rungs)
+
+    def bracket_of(self, trial_number: int) -> int:
+        """Deterministic weighted round-robin bracket assignment."""
+        slot = trial_number % int(self._cum[-1])
+        return int(np.searchsorted(self._cum, slot, side="right"))
+
+    def should_prune(self, study: "Study", record: FrozenTrial) -> bool:
+        if not record.intermediate:
+            return False
+        step = max(record.intermediate)
+        bracket = self.bracket_of(record.number)
+        # cull only AT this bracket's geometric rungs (first_rung * eta^k)
+        rung = self._first_rungs[bracket]
+        while rung < step:
+            rung *= self.eta
+        if rung != step:
+            return False
+        peers = []
+        for t in study.trials:
+            if t.number == record.number or not t.intermediate:
+                continue
+            if self.bracket_of(t.number) != bracket:
+                continue
+            usable = {s: v for s, v in t.intermediate.items() if s <= step}
+            if usable:
+                peers.append(usable[max(usable)])
+        if len(peers) < self.eta:
+            return False
+        value = record.intermediate[step]
+        if study.direction == "maximize":
+            return value < float(np.quantile(peers, 1.0 - 1.0 / self.eta))
+        return value > float(np.quantile(peers, 1.0 / self.eta))
 
 
 class NopPruner:

@@ -337,7 +337,7 @@ def _tune_deep(run_cfg: dict, default_cfg: dict) -> Optional[dict]:
 
     pruner_map = {
         "median": lambda: search.MedianPruner(n_startup_trials=5, n_warmup_steps=10),
-        "hyperband": lambda: search.SuccessiveHalvingPruner(),
+        "hyperband": lambda: search.HyperbandPruner(max_resource=sweep_epochs),
         "none": lambda: search.NopPruner(),
         "nop": lambda: search.NopPruner(),
     }

@@ -88,6 +88,52 @@ def test_successive_halving_pruner():
     assert study.best_trial.number == 0
 
 
+def test_hyperband_bracket_allocation():
+    hb = search.HyperbandPruner(min_resource=2, max_resource=8, eta=2)
+    assert hb.n_brackets == 3  # first rungs 2, 4, 8
+    counts = [0, 0, 0]
+    for n in range(70):
+        counts[hb.bracket_of(n)] += 1
+    # weights eta^(s_max-s) = 4:2:1 over every 7 consecutive trials
+    assert counts == [40, 20, 10]
+
+
+def test_hyperband_lenient_bracket_keeps_slow_starter():
+    """The trial Hyperband exists for: one that looks bad at the early rungs
+    but ends best. Single-bracket SHA culls it at the first rung; the same
+    reporting schedule in a lenient Hyperband bracket survives to the end."""
+
+    def run(pruner, slow_number):
+        study = search.create_study(direction="maximize", pruner=pruner)
+
+        def obj(trial):
+            slow = trial.number == slow_number
+            val = 0.0
+            for step in range(8):
+                # slow starter: near-zero until late, then the best of all
+                val = (0.01 * step if step < 6 else 1.5) if slow else 0.5 + 0.005 * trial.number
+                trial.report(val, step)
+                if trial.should_prune():
+                    raise search.TrialPruned()
+            return val
+
+        study.optimize(obj, n_trials=8)
+        return study
+
+    # baseline: single-bracket SHA prunes the slow starter at its first rung
+    sha = run(search.SuccessiveHalvingPruner(min_resource=2, eta=2), slow_number=6)
+    assert sha.trials[6].state == search.TrialState.PRUNED
+
+    # Hyperband: trial 6 lands in the most lenient bracket (first rung 8,
+    # past its 8-step budget) and survives to post the winning value
+    hb = search.HyperbandPruner(min_resource=2, max_resource=8, eta=2)
+    assert hb.bracket_of(6) == hb.n_brackets - 1
+    study = run(hb, slow_number=6)
+    assert study.trials[6].state == search.TrialState.COMPLETE
+    assert study.best_trial.number == 6
+    assert study.best_value == 1.5
+
+
 def test_catch_failures():
     study = search.create_study(pruner=search.NopPruner())
 
