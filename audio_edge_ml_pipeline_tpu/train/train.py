@@ -38,7 +38,7 @@ logger = logging.getLogger(__name__)
 def setup_tracking(uri: Optional[str], experiment: str):
     tracking.set_tracking_uri(uri)
     tracking.set_experiment(experiment)
-    logger.info("Tracking dir: %s  experiment: %s", tracking.get_tracking_dir(), experiment)
+    logger.info("Tracking backend: %s  experiment: %s", tracking.tracking_location(), experiment)
 
 
 def apply_class_filter(X, y, label_names, class_filter, run_name=""):
