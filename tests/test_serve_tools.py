@@ -75,6 +75,58 @@ def test_dashboard_render(tmp_path):
     assert "0.650" in page
 
 
+def test_dashboard_png_charts(tmp_path):
+    """The graphical panels (fleet overview + per-device timeline/histogram/
+    distribution) render as embedded base64 PNGs from sample telemetry and
+    decode back to real PNG bytes."""
+    import base64
+    import re
+
+    pytest.importorskip("matplotlib")
+    from audio_edge_ml_pipeline_tpu.serve.dashboard import (
+        load_stats,
+        load_telemetry,
+        render,
+        render_device_charts,
+        render_fleet_charts,
+    )
+
+    tdir = tmp_path / "telemetry"
+    tdir.mkdir()
+    rng = np.random.default_rng(3)
+    classes = ["Fire", "Rain", "Wind"]
+    for dev in ("devA", "devB"):
+        events = []
+        for i in range(30):
+            c = classes[int(rng.integers(0, 3))]
+            events.append(
+                {
+                    "timestamp": f"2026-08-19T10:{i // 60:02d}:{i % 60:02d}",
+                    "device_id": dev,
+                    "true_class": c,
+                    "prediction": c if rng.random() > 0.2 else classes[0],
+                    "confidence": float(rng.uniform(0.2, 1.0)),
+                    "uploaded": bool(rng.random() < 0.1),
+                }
+            )
+        (tdir / f"{dev}_telemetry.jsonl").write_text("\n".join(json.dumps(e) for e in events))
+
+    telemetry = load_telemetry(tdir)
+    fleet = render_fleet_charts(telemetry)
+    dev = render_device_charts("devA", telemetry["devA"])
+    for fragment in (fleet, dev):
+        m = re.search(r"base64,([A-Za-z0-9+/=]+)", fragment)
+        assert m, "no embedded PNG in chart fragment"
+        png = base64.b64decode(m.group(1))
+        assert png[:8] == b"\x89PNG\r\n\x1a\n" and len(png) > 2000
+
+    page = render(telemetry, load_stats(tmp_path / "nostats"))
+    # one fleet panel + one panel per device, all inline PNGs
+    assert page.count("base64,") == 3
+    # the text tables survive as the data fallback alongside the charts
+    assert "class distribution" in page and "recent events" in page
+
+
 # ---------------------------------------------------------------------------
 # Edge simulator
 # ---------------------------------------------------------------------------
