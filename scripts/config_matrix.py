@@ -1,0 +1,378 @@
+#!/usr/bin/env python
+"""Drive every BASELINE.json config end-to-end through the real CLIs.
+
+The five driver configs (BASELINE.json `configs`):
+  1. fsc22 audio_mel_spec -> cnn                 (the e2e harness workload)
+  2. fsc22 audio_mfcc_seq + audio_classical -> rnn and pca_svm
+  3. fsc22 audio_cqt + audio_waveform -> transformer
+  4. augment pipeline (n_augments, class_overrides) + tuning sweep
+  5. image_mobilenet_v2 + video_mobilenet_v2_seq (cross-modal paths)
+
+Each config runs extract -> train(/tune) via subprocess CLIs (exactly the
+production surfaces), recording per-stage rc + seconds and the final
+metric, bracketed by the tunnel-health probe (scripts/e2e_timing.py).
+Writes <workdir>/config_matrix.json and prints a markdown table suitable
+for docs/CONFIG_MATRIX.md.
+
+Class/sample counts default to a small-but-separable synthetic workload
+(the reference's own transformer configs use 6 classes,
+reference config/training.yaml:160-175); the 27-class BASELINE target run
+stays `scripts/e2e_timing.py`'s job.
+
+Usage: python scripts/config_matrix.py [--workdir /tmp/aep_matrix]
+       [--configs 1,2,3,4,5] [--classes 8] [--per-class 24]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "scripts"))
+from e2e_timing import tunnel_health_label, tunnel_probe  # noqa: E402
+
+SR = 16000
+
+
+def sh(argv: list[str], cwd: Path, stages: list, name: str, env=None) -> bool:
+    t0 = time.perf_counter()
+    r = subprocess.run([sys.executable, *argv], cwd=cwd, text=True, env=env,
+                       stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    dt = round(time.perf_counter() - t0, 1)
+    stages.append({"stage": name, "rc": r.returncode, "seconds": dt})
+    print(f"  [{name:>28}] {dt:7.1f} s  rc={r.returncode}")
+    if r.returncode != 0:
+        print(r.stdout[-3000:])
+    return r.returncode == 0
+
+
+def extract_yaml(work: Path, dataset: Path, loader: str, experiments: list[dict]) -> Path:
+    lines = [f"dataset: {dataset}", f"loader: {loader}", "experiments:"]
+    for e in experiments:
+        lines.append(f"  - name: {e['name']}")
+        lines.append(f"    extractor: {e['extractor']}")
+        if e.get("split"):
+            lines.append(f"    split: {e['split']}")
+        lines.append(f"    output: {e['output']}")
+        params = e.get("params")
+        if params:
+            inner = ", ".join(f"{k}: {json.dumps(v)}" for k, v in params.items())
+            lines.append(f"    extractor_params: {{{inner}}}")
+    p = work / f"extract_{experiments[0]['name']}.yaml"
+    p.write_text("\n".join(lines) + "\n")
+    return p
+
+
+def train_yaml(work: Path, tag: str, feats: Path, feats_val: Path, runs: list[dict]) -> Path:
+    lines = [
+        f"features_dir: {feats}",
+        f"features_test_dir: {feats_val}",
+        f"output_dir: {work}/models_{tag}",
+        f"experiment: matrix-{tag}",
+        f"mlflow_uri: {work}/mlruns",
+        "val_split: 0.25",
+        "runs:",
+    ]
+    for r in runs:
+        lines.append(f"  - model: {r['model']}")
+        if r.get("name"):
+            lines.append(f"    name: {r['name']}")
+        params = r.get("params") or {}
+        inner = ", ".join(f"{k}: {json.dumps(v)}" for k, v in params.items())
+        lines.append(f"    params: {{{inner}}}")
+    p = work / f"train_{tag}.yaml"
+    p.write_text("\n".join(lines) + "\n")
+    return p
+
+
+def collect_metrics(models_dir: Path) -> dict:
+    out = {}
+    for info in sorted(models_dir.glob("*/model_info.json")):
+        d = json.loads(info.read_text())
+        out[d.get("model_name", info.parent.name)] = {
+            "val_accuracy": d.get("val_accuracy"),
+            "val_f1_macro": d.get("val_f1_macro"),
+            "model_size_kb": d.get("model_size_kb"),
+        }
+    return out
+
+
+MEL = {"sample_rate": SR, "n_mels": 40, "n_fft": 512, "hop_length": 160, "duration": 5.0}
+
+
+def cfg1(work: Path, fsc22: Path, feats: Path, stages: list) -> dict:
+    """mel_spec -> cnn (BASELINE config 1; the 27-class run is e2e_timing)."""
+    ex = extract_yaml(work, fsc22, "fsc22", [
+        {"name": "c1_mel_train", "extractor": "audio_mel_spec", "split": "train",
+         "output": f"{feats}/c1_mel_train", "params": MEL},
+        {"name": "c1_mel_val", "extractor": "audio_mel_spec", "split": "validation",
+         "output": f"{feats}/c1_mel_val", "params": MEL},
+    ])
+    ok = sh(["-m", "audio_edge_ml_pipeline_tpu.features.pipeline", "--config", str(ex)],
+            work, stages, "c1 extract mel")
+    tr = train_yaml(work, "c1", feats / "c1_mel_train", feats / "c1_mel_val", [
+        {"model": "cnn", "params": {"filters": [16, 64, 64], "first_stride": 4,
+                                    "second_stride": 2, "batch_size": 32, "epochs": 25}},
+    ])
+    ok &= sh(["-m", "audio_edge_ml_pipeline_tpu.train.train", "--config", str(tr)],
+             work, stages, "c1 train cnn")
+    return {"ok": ok, "metrics": collect_metrics(work / "models_c1")}
+
+
+def cfg2(work: Path, fsc22: Path, feats: Path, stages: list) -> dict:
+    """mfcc_seq + classical -> rnn and pca_svm (BASELINE config 2)."""
+    ex = extract_yaml(work, fsc22, "fsc22", [
+        {"name": "c2_mfcc_train", "extractor": "audio_mfcc_seq", "split": "train",
+         "output": f"{feats}/c2_mfcc_train", "params": {"sample_rate": SR, "duration": 5.0}},
+        {"name": "c2_mfcc_val", "extractor": "audio_mfcc_seq", "split": "validation",
+         "output": f"{feats}/c2_mfcc_val", "params": {"sample_rate": SR, "duration": 5.0}},
+        {"name": "c2_classical_train", "extractor": "audio_classical", "split": "train",
+         "output": f"{feats}/c2_classical_train", "params": {"sample_rate": SR, "duration": 5.0}},
+        {"name": "c2_classical_val", "extractor": "audio_classical", "split": "validation",
+         "output": f"{feats}/c2_classical_val", "params": {"sample_rate": SR, "duration": 5.0}},
+    ])
+    ok = sh(["-m", "audio_edge_ml_pipeline_tpu.features.pipeline", "--config", str(ex)],
+            work, stages, "c2 extract mfcc+classical")
+    tr_rnn = train_yaml(work, "c2_rnn", feats / "c2_mfcc_train", feats / "c2_mfcc_val", [
+        {"model": "rnn", "params": {"units": 32, "batch_size": 32, "epochs": 25}},
+    ])
+    ok &= sh(["-m", "audio_edge_ml_pipeline_tpu.train.train", "--config", str(tr_rnn)],
+             work, stages, "c2 train rnn")
+    tr_svm = train_yaml(work, "c2_svm", feats / "c2_classical_train", feats / "c2_classical_val", [
+        {"model": "pca_svm", "params": {"n_components": 24, "C": 1.0}},
+    ])
+    ok &= sh(["-m", "audio_edge_ml_pipeline_tpu.train.train", "--config", str(tr_svm)],
+             work, stages, "c2 train pca_svm")
+    return {"ok": ok, "metrics": {**collect_metrics(work / "models_c2_rnn"),
+                                  **collect_metrics(work / "models_c2_svm")}}
+
+
+def cfg3(work: Path, fsc22: Path, feats: Path, stages: list) -> dict:
+    """cqt + waveform -> transformer (BASELINE config 3)."""
+    ex = extract_yaml(work, fsc22, "fsc22", [
+        {"name": "c3_cqt_train", "extractor": "audio_cqt", "split": "train",
+         "output": f"{feats}/c3_cqt_train", "params": {"sample_rate": SR, "duration": 5.0}},
+        {"name": "c3_cqt_val", "extractor": "audio_cqt", "split": "validation",
+         "output": f"{feats}/c3_cqt_val", "params": {"sample_rate": SR, "duration": 5.0}},
+        {"name": "c3_wave_train", "extractor": "audio_waveform", "split": "train",
+         "output": f"{feats}/c3_wave_train", "params": {"sample_rate": SR, "duration": 5.0}},
+    ])
+    ok = sh(["-m", "audio_edge_ml_pipeline_tpu.features.pipeline", "--config", str(ex)],
+            work, stages, "c3 extract cqt+waveform")
+    tr = train_yaml(work, "c3", feats / "c3_cqt_train", feats / "c3_cqt_val", [
+        {"model": "transformer", "params": {"num_heads": 2, "ff_dim": 64, "n_blocks": 2,
+                                            "batch_size": 32, "epochs": 25}},
+    ])
+    ok &= sh(["-m", "audio_edge_ml_pipeline_tpu.train.train", "--config", str(tr)],
+             work, stages, "c3 train transformer")
+    return {"ok": ok, "metrics": collect_metrics(work / "models_c3")}
+
+
+def cfg4(work: Path, fsc22: Path, feats: Path, stages: list) -> dict:
+    """augment (n_augments + class_overrides) -> extract -> tuning sweep
+    (BASELINE config 4)."""
+    aug_out = work / "augmented"
+    aug_cfg = work / "augment.yaml"
+    # class_overrides keyed by the first synth class name (Chainsaw)
+    aug_cfg.write_text(f"""
+loader: fsc22
+dataset: {fsc22}
+split: train
+seed: 42
+output_dir: {aug_out}
+n_augments: 2
+preserve_length: true
+augmentations:
+  - type: volume_scale
+    min_gain: 0.7
+    max_gain: 1.3
+  - type: gaussian_noise
+    min_amplitude: 0.001
+    max_amplitude: 0.008
+class_overrides:
+  Chainsaw:
+    augmentations:
+      - type: time_shift
+        max_fraction: 0.2
+""")
+    ok = sh(["-m", "audio_edge_ml_pipeline_tpu.features.augment", "--config", str(aug_cfg)],
+            work, stages, "c4 augment")
+    ex = extract_yaml(work, aug_out, "audio_folder", [
+        {"name": "c4_mel_train", "extractor": "audio_mel_spec",
+         "output": f"{feats}/c4_mel_train", "params": MEL},
+    ])
+    ok &= sh(["-m", "audio_edge_ml_pipeline_tpu.features.pipeline", "--config", str(ex)],
+             work, stages, "c4 extract augmented mel")
+    exv = extract_yaml(work, fsc22, "fsc22", [
+        {"name": "c4_mel_val", "extractor": "audio_mel_spec", "split": "validation",
+         "output": f"{feats}/c4_mel_val", "params": MEL},
+    ])
+    ok &= sh(["-m", "audio_edge_ml_pipeline_tpu.features.pipeline", "--config", str(exv)],
+             work, stages, "c4 extract val mel")
+    tune_cfg = work / "tune_c4.yaml"
+    tune_cfg.write_text(f"""
+output_dir: {work}/tuned_c4
+experiment: matrix-c4-tune
+features_dir: {feats}/c4_mel_train
+features_test: {feats}/c4_mel_val
+mlflow_uri: {work}/mlruns
+n_trials: 4
+sweep_epochs: 8
+seed: 42
+pruner: median
+runs:
+  - model: cnn
+    search_space:
+      filters: [[16, 64, 64]]
+      first_stride: [4]
+      second_stride: [2]
+      batch_size: [32]
+      dropout: {{type: float, low: 0.1, high: 0.5}}
+      learning_rate: {{type: loguniform, low: 0.0005, high: 0.01}}
+""")
+    ok &= sh(["-m", "audio_edge_ml_pipeline_tpu.train.tune", "--config", str(tune_cfg)],
+             work, stages, "c4 tune sweep")
+    best = None
+    sl = work / "tuned_c4" / "shortlist.json"
+    if sl.exists():
+        cands = json.loads(sl.read_text()).get("candidates", [])
+        if cands:
+            best = {"model": cands[0].get("model"),
+                    "val_f1_macro": cands[0].get("val_f1_macro"),
+                    "val_accuracy": cands[0].get("val_accuracy")}
+    return {"ok": ok, "metrics": {"tune_best": best}}
+
+
+def make_videos(root: Path, n_classes: int = 3, per_class: int = 6) -> None:
+    import cv2
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    for c in range(n_classes):
+        cdir = root / f"motion_{c}"
+        cdir.mkdir(parents=True, exist_ok=True)
+        for i in range(per_class):
+            w = cv2.VideoWriter(str(cdir / f"v{i:02d}.avi"),
+                                cv2.VideoWriter_fourcc(*"MJPG"), 10, (64, 64))
+            for f in range(24):
+                frame = np.full((64, 64, 3), 30 + 20 * c, np.uint8)
+                # class-specific motion: horizontal / vertical / diagonal wipe
+                k = (f * 3) % 64
+                if c == 0:
+                    frame[:, :k] = 200
+                elif c == 1:
+                    frame[:k, :] = 200
+                else:
+                    frame[:k, :k] = 200
+                frame += rng.integers(0, 20, (64, 64, 3), dtype=np.uint8)
+                w.write(frame)
+            w.release()
+
+
+def cfg5(work: Path, raw: Path, feats: Path, stages: list) -> dict:
+    """image_mobilenet_v2 + video_mobilenet_v2_seq (BASELINE config 5) plus a
+    knn head on the image embeddings so the config trains end-to-end.
+    Embeddings are random-init (no ImageNet weights offline — VERDICT r3
+    Missing #1), which the extractor logs prominently."""
+    vids = raw / "videos"
+    if not vids.exists():
+        make_videos(vids)
+    ex_img = extract_yaml(work, raw / "images", "image_folder", [
+        {"name": "c5_img_train", "extractor": "image_mobilenet_v2",
+         "output": f"{feats}/c5_img_train", "params": {"image_size": 96}},
+        {"name": "c5_imgc_train", "extractor": "image_classical",
+         "output": f"{feats}/c5_imgc_train", "params": {"image_size": 128}},
+    ])
+    ok = sh(["-m", "audio_edge_ml_pipeline_tpu.features.pipeline", "--config", str(ex_img)],
+            work, stages, "c5 extract image embeddings")
+    ex_vid = extract_yaml(work, vids, "video_folder", [
+        {"name": "c5_vid_train", "extractor": "video_mobilenet_v2_seq",
+         "output": f"{feats}/c5_vid_train",
+         "params": {"max_frames": 8, "image_size": 96}},
+    ])
+    ok &= sh(["-m", "audio_edge_ml_pipeline_tpu.features.pipeline", "--config", str(ex_vid)],
+             work, stages, "c5 extract video embeddings")
+    # classical-descriptor head: random-init MobileNet embeddings cannot
+    # separate classes (no ImageNet weights offline); the trainable path is
+    # proven on the device-batched image_classical features instead
+    tr = train_yaml(work, "c5", feats / "c5_imgc_train", feats / "c5_imgc_train", [
+        {"model": "knn", "params": {"n_neighbors": 3}},
+    ])
+    ok &= sh(["-m", "audio_edge_ml_pipeline_tpu.train.train", "--config", str(tr)],
+             work, stages, "c5 train knn on image features")
+    return {"ok": ok, "metrics": collect_metrics(work / "models_c5")}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/aep_matrix")
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--classes", type=int, default=8)
+    ap.add_argument("--per-class", type=int, default=24)
+    args = ap.parse_args()
+
+    work = Path(args.workdir)
+    if work.exists():
+        shutil.rmtree(work)
+    work.mkdir(parents=True)
+    existing = os.environ.get("PYTHONPATH", "")
+    if str(REPO) not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = str(REPO) + (os.pathsep + existing if existing else "")
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          str(Path.home() / ".cache" / "aep_tpu_jax"))
+
+    raw = work / "raw"
+    feats = work / "processed"
+    boot: list = []
+    sh(["tools/make_synth_dataset.py", str(raw), "--classes", str(args.classes),
+        "--per-class", str(args.per_class)], REPO, boot, "synth datasets")
+
+    probe_before = tunnel_probe()
+    print(f"[tunnel probe: before] {probe_before} s ({tunnel_health_label(probe_before)})")
+
+    runners = {"1": cfg1, "2": cfg2, "3": cfg3, "4": cfg4, "5": cfg5}
+    results = {}
+    for key in args.configs.split(","):
+        key = key.strip()
+        fn = runners[key]
+        print(f"== config #{key}: {fn.__doc__.splitlines()[0]}")
+        stages: list = []
+        t0 = time.perf_counter()
+        try:
+            res = fn(work, raw / "fsc22" if key != "5" else raw, feats, stages)
+        except Exception as exc:  # a config failing must not sink the matrix
+            res = {"ok": False, "error": f"{type(exc).__name__}: {exc}"}
+        res["stages"] = stages
+        res["total_s"] = round(time.perf_counter() - t0, 1)
+        results[f"config_{key}"] = res
+
+    probe_after = tunnel_probe()
+    print(f"[tunnel probe: after ] {probe_after} s ({tunnel_health_label(probe_after)})")
+
+    doc = {
+        "workload": {"classes": args.classes, "per_class": args.per_class, "sr": SR},
+        "tunnel_probe_s": {"before": probe_before, "after": probe_after},
+        "bootstrap": boot,
+        "results": results,
+    }
+    (work / "config_matrix.json").write_text(json.dumps(doc, indent=2))
+
+    # markdown table for docs/CONFIG_MATRIX.md
+    print("\n| config | ok | total s | stages (rc, s) | final metric |")
+    print("|---|---|---|---|---|")
+    for key, res in results.items():
+        st = "; ".join(f"{s['stage']} ({s['rc']}, {s['seconds']})" for s in res.get("stages", []))
+        met = json.dumps(res.get("metrics", res.get("error", "")))[:120]
+        print(f"| {key} | {res.get('ok')} | {res.get('total_s')} | {st} | {met} |")
+    print(json.dumps({k: v["ok"] for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,46 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
+def tunnel_probe(timeout_s: float = 240.0):
+    """Objective tunnel-congestion marker: one fixed 8 MB host->device->host
+    round trip (upload + trivial compute + fetch), timed in a KILLABLE
+    subprocess so a wedged backend can't hang the harness. Returns seconds
+    (float), or 'timeout'/'failed rc=N'. Import/backend-init time is
+    excluded — only the round trip is timed. Measured context: a healthy
+    window fetches ~41 MB in ~1.5 s (CLAUDE.md), so <= ~2 s here is
+    healthy; congested windows run 10x-100x that."""
+    code = (
+        "import time, numpy as np, jax;"
+        "x = np.ones((1024, 2048), np.float32);"  # 8 MB
+        "jax.device_put(np.zeros(8, np.float32));"  # backend init outside the clock
+        "t0 = time.perf_counter();"
+        "d = jax.device_put(x);"
+        "y = np.asarray(jax.device_get(d + 1));"
+        "print(round(time.perf_counter() - t0, 3))"
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True, env=os.environ.copy())
+    except subprocess.TimeoutExpired:
+        return "timeout"
+    if r.returncode != 0:
+        return f"failed rc={r.returncode}"
+    try:
+        return float(r.stdout.strip().splitlines()[-1])
+    except (ValueError, IndexError):
+        return "unparseable"
+
+
+def tunnel_health_label(probe) -> str:
+    if not isinstance(probe, float):
+        return "dead"
+    if probe <= 2.0:
+        return "healthy"
+    if probe <= 10.0:
+        return "moderate"
+    return "congested"
+
+
 def run_stage(name: str, argv: list[str], cwd: Path, timings: dict,
               env: dict | None = None) -> None:
     t0 = time.perf_counter()
@@ -141,8 +181,10 @@ runs:
 """)
 
     timings: dict = {}
+    probe_before = tunnel_probe()
+    print(f"[tunnel probe: before] {probe_before} s  ({tunnel_health_label(probe_before)})")
     t_all = time.perf_counter()
-    run_stage("synth dataset", ["tools/make_synth_dataset.py", str(raw),
+    run_stage("synth dataset",["tools/make_synth_dataset.py", str(raw),
                                 "--classes", str(args.classes), "--per-class", str(args.per_class)],
               REPO, timings)
     run_stage("extract train+val", ["-m", "audio_edge_ml_pipeline_tpu.features.pipeline",
@@ -174,8 +216,18 @@ runs:
 
     core = sum(v for k, v in timings.items() if k.split(" ")[0] in ("train", "tune", "optimize"))
     total = round(time.perf_counter() - t_all, 1)
+    probe_after = tunnel_probe()
+    print(f"[tunnel probe: after ] {probe_after} s  ({tunnel_health_label(probe_after)})")
+    # the worse of the two probes labels the window — congestion arriving
+    # mid-run must not hide behind a healthy start
+    if isinstance(probe_before, float) and isinstance(probe_after, float):
+        window = tunnel_health_label(max(probe_before, probe_after))
+    else:
+        window = "dead"
     summary = {
         "timings_s": timings,
+        "tunnel_probe_s": {"before": probe_before, "after": probe_after,
+                           "window": window, "probe_bytes": 8 * 1024 * 1024},
         "train_tune_optimize_s": round(core, 1),
         "train_tune_optimize_min": round(core / 60, 2),
         "target_met": core < 600,
@@ -185,7 +237,8 @@ runs:
     }
     (work / "e2e_timing.json").write_text(json.dumps(summary, indent=2))
     print(json.dumps({k: summary[k] for k in
-                      ("train_tune_optimize_min", "target_met", "cold_cache", "total_s")}))
+                      ("train_tune_optimize_min", "target_met", "cold_cache", "total_s",
+                       "tunnel_probe_s")}))
 
 
 if __name__ == "__main__":
