@@ -363,6 +363,52 @@ def test_quantized_ds_cnn_deploys(ds_cnn_bundle, tmp_path):
     assert err <= 1e-4, f"int8 ds_cnn C parity {err:.2e}"
 
 
+def test_kd_student_full_deploy_chain(tmp_path):
+    """The last untested cross-stage composition (round-3 review stretch
+    item 8): teacher CNN -> KD student (distillation_cnn, reference
+    deep.py:912-1217) -> int8 optimize -> ModelToC -> gcc -> C inference
+    parity vs the evaluated int8 view."""
+    from audio_edge_ml_pipeline_tpu.deploy.codegen import ModelToC
+    from audio_edge_ml_pipeline_tpu.models import get_model
+    from audio_edge_ml_pipeline_tpu.optimize.quantize import _quantize_deep_bundle
+
+    X, y = _spec_blobs(seed=9)
+    Xtr, ytr, Xv, yv = X[:60], y[:60], X[60:], y[60:]
+    teacher = get_model("cnn")(epochs=8, batch_size=16, filters=[8, 16],
+                               first_stride=2, learning_rate=5e-3)
+    teacher.fit(Xtr, ytr, Xv, yv, ["a", "b", "c"], "teacher", tmp_path / "teacher", None)
+    student = get_model("distillation_cnn")(
+        epochs=8, batch_size=16, filters=[8, 8], first_stride=2, learning_rate=5e-3,
+        teacher_model=str(tmp_path / "teacher" / "model.flax.npz"),
+    )
+    sres = student.fit(Xtr, ytr, Xv, yv, ["a", "b", "c"], "student", tmp_path / "student", None)
+    assert sres.metrics["val_accuracy"] > 0.5  # KD actually learned
+
+    art = tmp_path / "student_dynamic_int8.npz"
+    view = _quantize_deep_bundle(Path(tmp_path / "student" / "model.flax.npz"),
+                                 "dynamic_int8", art, calib_X=Xv)
+    gen = ModelToC(
+        art, ["a", "b", "c"], sample_rate=16000, n_mels=16, n_fft=512,
+        hop_length=160, duration=50 * 160 / 16000, board="generic", max_ram_kb=180,
+    )
+    assert gen.quant_mode == "dynamic_int8"
+    out = tmp_path / "proj"
+    gen.generate(out)
+    weights_c = (out / "src" / "weights.c").read_text()
+    assert "signed char" in weights_c  # int8 weights stayed int8 in flash
+    exe = _compile_project(out)
+    feat = Xv[0]
+    (out / "feat.f32").write_bytes(feat.astype(np.float32).tobytes())
+    r = subprocess.run([str(exe), "--predict-feat", str(out / "feat.f32")],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    c_scores = np.array([float(v) for v in r.stdout.split()])
+    view_scores = view.predict_proba(feat[None])[0]
+    err = np.max(np.abs(c_scores - view_scores))
+    assert err <= 1e-4, f"KD-student int8 C parity {err:.2e}"
+    assert c_scores.argmax() == view_scores.argmax()
+
+
 def test_deploy_cli_routes_report_artifact(cnn_for_quant, tmp_path):
     """deploy --report (no --model) must ship the report's optimized model."""
     import os
