@@ -622,6 +622,211 @@ def cqt_magnitude(
     return blocks.reshape(nb * Bb, K, T)[:B]
 
 
+# ----------------------------------------------------------------------
+# CQT, multirate schedule — ATTEMPTED AND CLOSED as precision-bound
+# (round-4 VERDICT item 4; measured table in docs/EXTRACTION_PERF.md)
+# ----------------------------------------------------------------------
+#
+# The direct path correlates every frame against full-length (n_fft=16384)
+# kernels — HBM- and FLOP-bound at ~4.2k clips/s. This schedule exploits
+# the constant-Q structure: bins an octave down are narrowband at half the
+# frequency, so the signal can be half-band decimated per octave and the
+# GOLDEN kernels subsampled (not redefined) at stride 2^j. By Poisson
+# summation, for sequences whose product spectrum stays below sr/2^j the
+# subsampled correlation times 2^j equals the full-rate correlation
+# exactly. The engineering controls implemented here:
+#   (a) cascade passband deviation — killed by dividing each kernel by the
+#       cascade's exact f64 frequency response at its center frequency,
+#   (b) stopband leakage — bounded by the filter's ~180 dB stopband,
+#   (c) kernel time-truncation — certified at prep time vs an L1 budget,
+#   (d) f32 cascade rounding — the decimated signal is carried as
+#       two-float (hi+lo) words, mirroring the two-float kernel trick.
+#
+# MEASURED OUTCOME: magnitude-level parity holds (6.5e-6 relative to the
+# global max, pinned in tests/test_dsp_parity.py), but the FEATURE gate
+# fails at every decimation depth (2.9e-5 at j_cap=0 up to 5.9e-3 at full
+# depth) for two structural reasons: amplitude_to_db's top_db=80 clamp
+# makes worst-case bins demand ~185 dB (31-bit) fidelity relative to the
+# strongest bin — the golden kernels' hann-sidelobe folds under
+# subsampling and each f32 anti-alias stage's ~1e-7 broadband rounding
+# both sit ~50x over that budget — and even the undecimated per-octave
+# 12-bin GEMM split re-triggers the XLA:CPU shrunken-GEMM in-chunk
+# reduction loss (2.9e-5; the round-3 dot_general result, reproduced).
+# cqt_feature therefore keeps the direct blocked path; this code stays as
+# the documented experiment. Don't re-attempt without a fundamentally
+# different precision mechanism.
+
+
+def _design_halfband(a_db: float = 180.0, trans: float = 0.06) -> np.ndarray:
+    """Kaiser-windowed half-band lowpass (float64): cutoff 0.25 x input
+    rate, transition halfwidth `trans`/2 cycles, ~`a_db` dB stopband.
+    Exact unit DC gain; linear phase (applied center-aligned)."""
+    n_taps = int(np.ceil((a_db - 7.95) / (14.357 * trans)))
+    half = n_taps // 2
+    m = np.arange(-half, half + 1, dtype=np.float64)
+    beta = 0.1102 * (a_db - 8.7)
+    h = 0.5 * np.sinc(m / 2.0) * np.kaiser(2 * half + 1, beta)
+    return h / h.sum()
+
+
+def _cascade_response(hb: np.ndarray, f_hz: np.ndarray, sr: float, j: int) -> np.ndarray:
+    """Exact (f64) real frequency response of j half-band stages at f_hz.
+    Center-aligned symmetric taps -> zero phase."""
+    half = len(hb) // 2
+    m = np.arange(-half, half + 1, dtype=np.float64)
+    resp = np.ones_like(np.asarray(f_hz, np.float64))
+    for s in range(j):
+        nu = np.asarray(f_hz, np.float64) / (sr / 2.0**s)
+        resp *= (hb[None, :] * np.cos(2 * np.pi * nu[:, None] * m[None, :])).sum(axis=1)
+    return resp
+
+
+@functools.lru_cache(maxsize=8)
+def _cqt_multirate_prep(sr: float, fmin: float, n_bins: int, bins_per_octave: int,
+                        hop_length: int, tail_budget: float = 1e-7,
+                        j_cap: int = 32):
+    """Trace-time plan: per-octave decimation level, truncated+subsampled
+    two-float kernel words, gather geometry, and the half-band filter."""
+    h, n_fft = ref.cqt_time_basis(sr, fmin, n_bins, bins_per_octave)
+    freqs = fmin * 2.0 ** (np.arange(n_bins) / bins_per_octave)
+    Q = 1.0 / (2.0 ** (1.0 / bins_per_octave) - 1.0)
+    hb = _design_halfband()
+    center = n_fft // 2
+    groups = []
+    j_max = 0
+    for o in range(-(-n_bins // bins_per_octave)):
+        ks = np.arange(o * bins_per_octave, min((o + 1) * bins_per_octave, n_bins))
+        f_edge = freqs[ks].max() * (1.0 + 4.0 / Q)  # hann mainlobe + margin
+        j = 0
+        while j < j_cap and 2 ** (j + 1) <= hop_length and f_edge <= 0.22 * sr / 2.0**j:
+            j += 1
+        # smallest centered window with per-kernel L1 tails under budget
+        # (the analytic-signal kernels are not compactly supported)
+        l1 = np.abs(h[ks]).sum(axis=1)
+        lengths = np.ceil(Q * sr / freqs[ks]).astype(int)
+        halfw = int(lengths.max() // 2 + 1)
+        while halfw < center:
+            lo, hi = center - halfw, center + halfw
+            tail = np.abs(h[ks, :lo]).sum(axis=1) + np.abs(h[ks, hi:]).sum(axis=1)
+            if np.all(tail <= tail_budget * l1):
+                break
+            halfw = min(center, int(halfw * 1.25) + 64)
+        step = 2**j
+        # window start/width aligned so gather indices stay integral and the
+        # subsampled tap count is a multiple of 128 (MXU lane alignment)
+        Wd = -(-2 * halfw // step)
+        Wd = -(-Wd // 128) * 128
+        W = Wd * step
+        c0 = max(0, center - W // 2)
+        c0 -= c0 % step
+        if c0 + W > n_fft:
+            c0 = n_fft - W
+            c0 -= c0 % step
+        # subsample the golden kernels; fold in the Poisson factor and the
+        # cascade's exact response at each bin's center frequency
+        resp = _cascade_response(hb, freqs[ks], sr, j)
+        sub = h[ks, c0 : c0 + W : step] * (step / resp[:, None])
+        kr0, kr1 = _two_f32(np.ascontiguousarray(sub.real))
+        ki0, ki1 = _two_f32(np.ascontiguousarray(sub.imag))
+        groups.append({"ks": (int(ks[0]), int(ks[-1] + 1)), "j": j, "c0": c0,
+                       "Wd": Wd, "k": (kr0, kr1, ki0, ki1)})
+        j_max = max(j_max, j)
+    hb0, hb1 = _two_f32(hb)
+    return {"n_fft": n_fft, "groups": groups, "j_max": j_max, "hb": (hb0, hb1)}
+
+
+def _decimate2_twofloat(x0: jnp.ndarray, x1: jnp.ndarray, hb0, hb1):
+    """One half-band stage on a two-float signal: (B, n) -> (B, ceil(n/2)),
+    output sample m centered on input sample 2m. The hi word's own conv
+    rounding is the one uncompensated term (~1 ulp of the hi conv)."""
+    half = hb0.shape[0] // 2
+
+    def conv(x, f):
+        xp = jnp.pad(x, ((0, 0), (half, half)))[:, None, :]
+        return lax.conv_general_dilated(
+            xp, f[None, None, :], window_strides=(2,), padding="VALID",
+            dimension_numbers=("NCW", "OIW", "NCW"), precision=HIGHEST,
+        )[:, 0, :]
+
+    y0 = conv(x0, hb0)
+    # first-order corrections: lo-filter x hi-signal and hi-filter x lo-signal
+    y1 = conv(x0, hb1) + conv(x1, hb0)
+    return y0, y1
+
+
+def cqt_magnitude_multirate(
+    y: jnp.ndarray,
+    sr: float,
+    hop_length: int,
+    n_bins: int,
+    bins_per_octave: int = 12,
+    fmin: float | None = None,
+    j_cap: int = 32,
+) -> jnp.ndarray:
+    """(B, n) -> (B, n_bins, T) |CQT|, numerically matching cqt_magnitude
+    (the ops.golden.cqt contract) through the multirate schedule above."""
+    if fmin is None:
+        fmin = ref.C1_HZ
+    plan = _cqt_multirate_prep(float(sr), float(fmin), int(n_bins),
+                               int(bins_per_octave), int(hop_length),
+                               j_cap=int(j_cap))
+    n_fft = plan["n_fft"]
+    pad = n_fft // 2
+    B = y.shape[0]
+    T = n_frames_for(y.shape[1], hop_length)
+    step_max = 2 ** plan["j_max"]
+    # right-extend so every decimated stage is long enough for the last
+    # frame's gather and stays stride-divisible
+    extra = (-(y.shape[1] + 2 * pad)) % step_max + 4 * step_max
+    x0 = jnp.pad(y, ((0, 0), (pad, pad + extra)))
+    x1 = jnp.zeros_like(x0)
+    hb0 = jnp.asarray(plan["hb"][0], jnp.float32)
+    hb1 = jnp.asarray(plan["hb"][1], jnp.float32)
+
+    # decimation pyramid up to j_max (shared across octave groups)
+    pyramid = [(x0, x1)]
+    for _ in range(plan["j_max"]):
+        pyramid.append(_decimate2_twofloat(*pyramid[-1], hb0, hb1))
+
+    def kahan_chunk_sum(parts):
+        def kahan_add(carry, v):
+            s, c = carry
+            yv = v - c
+            t_new = s + yv
+            return (t_new, (t_new - s) - yv), None
+
+        p = jnp.moveaxis(parts, -1, 0)
+        (s, _), _ = lax.scan(kahan_add, (jnp.zeros_like(p[0]),) * 2, p)
+        return s
+
+    outs = []
+    for g in plan["groups"]:
+        xj0, xj1 = pyramid[g["j"]]
+        stride = 2 ** g["j"]
+        Wd = g["Wd"]
+        starts = (np.arange(T) * hop_length + g["c0"]) // stride
+        idx = jnp.asarray((starts[:, None] + np.arange(Wd)[None, :]).astype(np.int32))
+        f0 = xj0[:, idx]  # (B, T, Wd)
+        f1 = xj1[:, idx]
+        chunk = min(_CQT_CHUNK, Wd)
+        nc = Wd // chunk
+        Kg = g["ks"][1] - g["ks"][0]
+        kr0, kr1, ki0, ki1 = (jnp.asarray(w) for w in g["k"])
+        f0c = f0.reshape(B, T, nc, chunk)
+
+        def contract(k0c, k1, f0c=f0c, f1=f1, f0=f0):
+            parts = jnp.einsum("btcn,kcn->bktc", f0c, k0c, precision=HIGHEST)
+            s = kahan_chunk_sum(parts)
+            corr = jnp.einsum("btn,kn->bkt", f0, k1, precision=HIGHEST)
+            corr += jnp.einsum("btn,kn->bkt", f1, k0c.reshape(Kg, Wd), precision=HIGHEST)
+            return s + corr
+
+        Cr = contract(kr0.reshape(Kg, nc, chunk), kr1)
+        Ci = contract(ki0.reshape(Kg, nc, chunk), ki1)
+        outs.append(jnp.sqrt(Cr * Cr + Ci * Ci))
+    return jnp.concatenate(outs, axis=1)
+
+
 def cqt_feature(
     y: jnp.ndarray,
     sr: float = 22050,

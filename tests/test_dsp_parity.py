@@ -146,6 +146,19 @@ def test_cqt_feature_parity(batch22k):
     assert err <= 1e-5, f"cqt parity {err:.3e}"
 
 
+def test_cqt_multirate_magnitude_parity(batch22k):
+    """The multirate experiment (closed as precision-bound for the FEATURE
+    gate — ops/dsp.py header + docs/EXTRACTION_PERF.md) must keep its
+    measured magnitude-level parity: |CQT| within 1e-5 of the oracle
+    relative to the global max. This pins the Poisson-subsampled kernels,
+    cascade normalization, and two-float chain against rot."""
+    y, sr = batch22k
+    got = np.asarray(dsp.cqt_magnitude_multirate(jnp.asarray(y[:2]), sr, 512, 84))
+    ref = _golden_stack(lambda c: g.cqt(c.astype(np.float64), sr, 512, 84), y[:2])
+    err = np.max(np.abs(got - ref)) / ref.max()
+    assert err <= 1e-5, f"multirate |CQT| parity {err:.3e}"
+
+
 def test_cqt_batch_blocking_matches_direct(batch22k, monkeypatch):
     """Large batches run CQT in batch blocks under a scan (the direct
     path's frames tensor measured OOM at B=1024 on v5e); each block must
