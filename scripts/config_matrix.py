@@ -134,9 +134,9 @@ def cfg2(work: Path, fsc22: Path, feats: Path, stages: list) -> dict:
         {"name": "c2_mfcc_val", "extractor": "audio_mfcc_seq", "split": "validation",
          "output": f"{feats}/c2_mfcc_val", "params": {"sample_rate": SR, "duration": 5.0}},
         {"name": "c2_classical_train", "extractor": "audio_classical", "split": "train",
-         "output": f"{feats}/c2_classical_train", "params": {"sample_rate": SR, "duration": 5.0}},
+         "output": f"{feats}/c2_classical_train", "params": {"sample_rate": SR}},
         {"name": "c2_classical_val", "extractor": "audio_classical", "split": "validation",
-         "output": f"{feats}/c2_classical_val", "params": {"sample_rate": SR, "duration": 5.0}},
+         "output": f"{feats}/c2_classical_val", "params": {"sample_rate": SR}},
     ])
     ok = sh(["-m", "audio_edge_ml_pipeline_tpu.features.pipeline", "--config", str(ex)],
             work, stages, "c2 extract mfcc+classical")
@@ -285,15 +285,15 @@ def cfg5(work: Path, raw: Path, feats: Path, stages: list) -> dict:
     if not vids.exists():
         make_videos(vids)
     ex_img = extract_yaml(work, raw / "images", "image_folder", [
-        {"name": "c5_img_train", "extractor": "image_mobilenet_v2",
+        {"name": "c5_img_train", "extractor": "image_mobilenet_v2", "split": "all",
          "output": f"{feats}/c5_img_train", "params": {"image_size": 96}},
-        {"name": "c5_imgc_train", "extractor": "image_classical",
+        {"name": "c5_imgc_train", "extractor": "image_classical", "split": "all",
          "output": f"{feats}/c5_imgc_train", "params": {"image_size": 128}},
     ])
     ok = sh(["-m", "audio_edge_ml_pipeline_tpu.features.pipeline", "--config", str(ex_img)],
             work, stages, "c5 extract image embeddings")
     ex_vid = extract_yaml(work, vids, "video_folder", [
-        {"name": "c5_vid_train", "extractor": "video_mobilenet_v2_seq",
+        {"name": "c5_vid_train", "extractor": "video_mobilenet_v2_seq", "split": "all",
          "output": f"{feats}/c5_vid_train",
          "params": {"max_frames": 8, "image_size": 96}},
     ])
