@@ -205,7 +205,10 @@ class_overrides:
     ok = sh(["-m", "audio_edge_ml_pipeline_tpu.features.augment", "--config", str(aug_cfg)],
             work, stages, "c4 augment")
     ex = extract_yaml(work, aug_out, "audio_folder", [
-        {"name": "c4_mel_train", "extractor": "audio_mel_spec",
+        # split: all — the augment CLI writes a FLAT class-per-dir tree (no
+        # train/ level), and the experiment config defaults split to "train"
+        # when omitted (features/config.py ExperimentConfig.split)
+        {"name": "c4_mel_train", "extractor": "audio_mel_spec", "split": "all",
          "output": f"{feats}/c4_mel_train", "params": MEL},
     ])
     ok &= sh(["-m", "audio_edge_ml_pipeline_tpu.features.pipeline", "--config", str(ex)],
@@ -316,12 +319,16 @@ def main() -> None:
     ap.add_argument("--configs", default="1,2,3,4,5")
     ap.add_argument("--classes", type=int, default=8)
     ap.add_argument("--per-class", type=int, default=24)
+    ap.add_argument("--keep", action="store_true",
+                    help="keep an existing workdir and merge this run's "
+                         "config results into its config_matrix.json "
+                         "(rerun a failed config without wiping the rest)")
     args = ap.parse_args()
 
     work = Path(args.workdir)
-    if work.exists():
+    if work.exists() and not args.keep:
         shutil.rmtree(work)
-    work.mkdir(parents=True)
+    work.mkdir(parents=True, exist_ok=True)
     existing = os.environ.get("PYTHONPATH", "")
     if str(REPO) not in existing.split(os.pathsep):
         os.environ["PYTHONPATH"] = str(REPO) + (os.pathsep + existing if existing else "")
@@ -331,8 +338,11 @@ def main() -> None:
     raw = work / "raw"
     feats = work / "processed"
     boot: list = []
-    sh(["tools/make_synth_dataset.py", str(raw), "--classes", str(args.classes),
-        "--per-class", str(args.per_class)], REPO, boot, "synth datasets")
+    if args.keep and (raw / "fsc22").exists():
+        print("  [              synth datasets] kept from previous run")
+    else:
+        sh(["tools/make_synth_dataset.py", str(raw), "--classes", str(args.classes),
+            "--per-class", str(args.per_class)], REPO, boot, "synth datasets")
 
     probe_before = tunnel_probe()
     print(f"[tunnel probe: before] {probe_before} s ({tunnel_health_label(probe_before)})")
@@ -362,7 +372,19 @@ def main() -> None:
         "bootstrap": boot,
         "results": results,
     }
-    (work / "config_matrix.json").write_text(json.dumps(doc, indent=2))
+    out_json = work / "config_matrix.json"
+    if args.keep and out_json.exists():
+        prev = json.loads(out_json.read_text())
+        merged = dict(prev.get("results", {}))
+        merged.update(results)
+        doc["results"] = results = merged
+        # keep each run's probes: reruns get their own weather marker
+        doc["tunnel_probe_s"] = {
+            **{f"prev_{k}": v for k, v in prev.get("tunnel_probe_s", {}).items()},
+            "before": probe_before, "after": probe_after,
+        }
+        doc["bootstrap"] = prev.get("bootstrap", boot)
+    out_json.write_text(json.dumps(doc, indent=2))
 
     # markdown table for docs/CONFIG_MATRIX.md
     print("\n| config | ok | total s | stages (rc, s) | final metric |")
