@@ -217,3 +217,53 @@ class_overrides:
     ya, _ = load_audio(out / "rain" / "0_aug001.wav")
     yo, _ = load_audio(out / "rain" / "0.wav")
     np.testing.assert_allclose(ya, -yo, atol=2.0 / 32768)
+
+
+def test_augmented_tree_extracts_with_split_all(tmp_path):
+    """The augment CLI writes a FLAT class-per-dir tree (no train/ level).
+    Feeding it back through the feature pipeline requires `split: all` —
+    the experiment default `split: train` points the audio_folder loader at
+    a nonexistent <out>/train and must fail loudly, not scan nothing.
+    Codifies the config-4 chain bug found on chip (docs/CONFIG_MATRIX.md;
+    reference augment.py:24-30 documents the same feed-back contract)."""
+    import json
+
+    from audio_edge_ml_pipeline_tpu.data.audio_io import write_wav
+    from audio_edge_ml_pipeline_tpu.features.augment import load_config, run
+    from audio_edge_ml_pipeline_tpu.features.config import ExperimentConfig
+    from audio_edge_ml_pipeline_tpu.features.pipeline import _run_experiment
+
+    src = tmp_path / "src"
+    rng = np.random.default_rng(9)
+    for c in ("a", "b"):
+        d = src / c
+        d.mkdir(parents=True)
+        for i in range(2):
+            write_wav(d / f"{i}.wav", rng.standard_normal(8000).astype(np.float32) * 0.3, 16000)
+    out = tmp_path / "augmented"
+    cfg = tmp_path / "aug.yaml"
+    cfg.write_text(
+        f"loader: audio_folder\naudio_folder: {src}\noutput_dir: {out}\n"
+        "n_augments: 1\nseed: 4\npreserve_length: true\n"
+        "augmentations:\n  - type: volume_scale\n"
+    )
+    run(load_config(cfg))
+
+    feats = tmp_path / "feats"
+    exp = ExperimentConfig(
+        name="aug_all", loader="audio_folder", dataset=str(out), split="all",
+        extractor="audio_waveform", output=str(feats),
+        extractor_params={"sample_rate": 16000, "duration": 0.5},
+    )
+    _run_experiment(exp)
+    info = json.loads((feats / "info.json").read_text())
+    assert info["n_samples"] == 8  # 2 classes x (2 originals + 2 augmented)
+    assert info["n_classes"] == 2
+
+    bad = ExperimentConfig(
+        name="aug_train", loader="audio_folder", dataset=str(out), split="train",
+        extractor="audio_waveform", output=str(tmp_path / "feats_bad"),
+        extractor_params={"sample_rate": 16000, "duration": 0.5},
+    )
+    with pytest.raises(NotADirectoryError):
+        _run_experiment(bad)
