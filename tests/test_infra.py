@@ -361,3 +361,40 @@ def test_hybrid_dcn_replica_mesh_training_step():
     np.testing.assert_allclose(np.asarray(loss), np.asarray(loss_ref), atol=1e-5)
     for k in params0:
         np.testing.assert_allclose(np.asarray(p[k]), np.asarray(p_ref[k]), atol=1e-5)
+
+
+def test_docker_mlflow_service_is_startable_as_composed():
+    """Compose lint: the mlflow service must not pair a postgresql://
+    backend store (or s3:// artifact destination) with an image that lacks
+    the drivers. The stock ghcr.io/mlflow/mlflow image ships neither
+    psycopg2 nor boto3 — the reference builds its own server image for
+    exactly this reason (reference docker/Dockerfile.mlflow:1-4). Docker
+    can't run in this environment, so assert the compose file is
+    self-consistent: a postgresql/s3 store requires a `build:` whose
+    Dockerfile installs the drivers."""
+    import yaml
+
+    compose_path = REPO / "docker" / "docker-compose.yaml"
+    compose = yaml.safe_load(compose_path.read_text())
+    svc = compose["services"]["mlflow"]
+    command = " ".join(svc.get("command", "").split())
+    needs_pg = "postgresql://" in command
+    needs_s3 = "s3://" in command
+    if not (needs_pg or needs_s3):
+        return  # file-backed server: any mlflow image works
+
+    assert "build" in svc, (
+        "mlflow service uses a postgresql:// or s3:// store but no build: — "
+        "the stock image cannot import psycopg2/boto3 and crashes on startup"
+    )
+    build = svc["build"]
+    context = build.get("context", ".") if isinstance(build, dict) else build
+    dockerfile = build.get("dockerfile", "Dockerfile") if isinstance(build, dict) else "Dockerfile"
+    df_path = (compose_path.parent / context / dockerfile).resolve()
+    assert df_path.is_file(), f"compose references missing {df_path}"
+    df = df_path.read_text()
+    assert "mlflow" in df
+    if needs_pg:
+        assert "psycopg2" in df, "postgresql:// store needs the psycopg2 driver baked in"
+    if needs_s3:
+        assert "boto3" in df, "s3:// artifact destination needs boto3 baked in"
