@@ -360,6 +360,11 @@ def main() -> None:
                 effects_jax.time_stretch_batch(base_v, rates)
                 best = min(best, time.perf_counter() - t0)
             secondary["vocoder_stretch_copies_per_sec"] = round(len(base_v) / best, 1)
+            # scope marker so this kernel-level number can't be conflated
+            # with the FULL augment-stage run (decode+param-draw+write;
+            # scripts/augment_backend_bench.py, 47.6 copies/s = 3.2x host
+            # in docs/EXTRACTION_PERF.md)
+            secondary["vocoder_metric_scope"] = "kernel B=64 2s clips; full-stage A/B = scripts/augment_backend_bench.py"
     except Exception as exc:
         secondary["vocoder_error"] = str(exc).splitlines()[0][:160]
 

@@ -359,3 +359,83 @@ def test_gen_prototypes_skips_empty_class_consistently(tmp_path):
     # all requested classes empty -> explicit error, not an IndexError
     with pytest.raises(SystemExit):
         gen_prototypes.generate(feats, out, classes=["c"])
+
+
+def test_serve_loop_simulator_api_telemetry_dashboard(tmp_path):
+    """The reference's monitoring topology run once AS A LOOP (reference
+    edge_simulator.py:15-386 POSTing to api.py:12-46, dashboard.py:12-70
+    reading what the simulator wrote): edge simulator -> live HTTP ingestion
+    API (confidence-gated upload) -> telemetry JSONL + device stats ->
+    dashboard rendered from those files."""
+    import threading
+
+    from audio_edge_ml_pipeline_tpu.data.audio_io import write_wav
+    from audio_edge_ml_pipeline_tpu.models import get_model
+    from audio_edge_ml_pipeline_tpu.ops import dsp
+    from audio_edge_ml_pipeline_tpu.serve.api import create_server
+    from audio_edge_ml_pipeline_tpu.serve.dashboard import load_stats, load_telemetry, render
+    from audio_edge_ml_pipeline_tpu.serve.edge_simulator import EdgeDeviceSimulator
+
+    sr, dur = 16000, 1.0
+    ds = tmp_path / "clips"
+    feats, labels = [], []
+    for c, name in enumerate(["low", "high"]):
+        d = ds / name
+        d.mkdir(parents=True)
+        for i in range(4):
+            t = np.arange(int(sr * dur)) / sr
+            y = (0.5 * np.sin(2 * np.pi * (250 + 900 * c) * t)).astype(np.float32)
+            y += 0.02 * np.random.default_rng(c * 10 + i).standard_normal(len(y)).astype(np.float32)
+            write_wav(d / f"{i}.wav", y, sr)
+            mel = np.asarray(dsp.mel_spec_feature(y[None], sr=sr, n_mels=16, n_fft=512, hop_length=160))[0]
+            feats.append(mel)
+            labels.append(c)
+    X = np.stack(feats).astype(np.float32)
+    y = np.array(labels, np.int32)
+    trainer = get_model("cnn")(epochs=4, batch_size=8, filters=[8], learning_rate=5e-3)
+    trainer.fit(X[:6], y[:6], X[6:], y[6:], ["low", "high"], "loop", tmp_path / "run", None)
+
+    server = create_server(tmp_path / "uploads", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        sim = EdgeDeviceSimulator(
+            tmp_path / "run" / "model.flax.npz", ["low", "high"], ds,
+            device_id="loopdev", api_url=f"http://127.0.0.1:{port}",
+            upload_threshold=1.1,  # every inference is below threshold -> POSTs
+            telemetry_dir=tmp_path / "telemetry", stats_dir=tmp_path / "stats",
+            mel_params={"sample_rate": sr, "n_mels": 16, "n_fft": 512,
+                        "hop_length": 160, "duration": dur},
+        )
+        sim.run(6)
+    finally:
+        server.shutdown()
+
+    # telemetry: every event marked uploaded (the live POST succeeded)
+    lines = (tmp_path / "telemetry" / "loopdev_telemetry.jsonl").read_text().strip().splitlines()
+    events = [json.loads(l) for l in lines]
+    assert len(events) == 6 and all(e["uploaded"] for e in events)
+
+    # API side: one stored wav + sidecar per upload, sidecars carrying the
+    # simulator's device/prediction/confidence fields that match telemetry
+    sidecars = sorted((tmp_path / "uploads").glob("*.json"))
+    wavs = sorted((tmp_path / "uploads").glob("*.wav"))
+    assert len(sidecars) == len(wavs) == 6
+    metas = [json.loads(p.read_text()) for p in sidecars]
+    assert all(m["device_id"] == "loopdev" for m in metas)
+    assert sorted(m["filename"] for m in metas) == sorted(e["clip"] for e in events)
+    assert {m["prediction"] for m in metas} <= {"low", "high"}
+    assert all(0.0 <= float(m["confidence"]) <= 1.0 for m in metas)
+
+    # dashboard renders from the very files the loop wrote
+    telemetry = load_telemetry(tmp_path / "telemetry")
+    stats = load_stats(tmp_path / "stats")
+    page = render(telemetry, stats)
+    assert "loopdev" in page
+    assert any(e["prediction"] in page for e in events)
+    assert "6" in page  # total_inferences reflected
+    try:
+        import matplotlib  # noqa: F401
+        assert page.count("base64,") >= 2  # fleet panel + device panel PNGs
+    except ImportError:
+        pass

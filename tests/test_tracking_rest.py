@@ -33,6 +33,10 @@ class _StubState:
 
 class _Handler(BaseHTTPRequestHandler):
     state: _StubState = None  # set per server
+    # When set, runs/create hands out artifact_uri as a LOCAL path under this
+    # root (a server started with --default-artifact-root /shared/fs); when
+    # None, the mlflow-artifacts: HTTP-proxy scheme is used.
+    artifact_root: str = None
 
     def log_message(self, *a):  # silence
         pass
@@ -106,6 +110,10 @@ class _Handler(BaseHTTPRequestHandler):
             rid = f"r{st.next_run:08d}"
             st.next_run += 1
             exp_id = str(p["experiment_id"])
+            if self.artifact_root:
+                art_uri = f"{self.artifact_root}/{exp_id}/{rid}/artifacts"
+            else:
+                art_uri = f"mlflow-artifacts:/{exp_id}/{rid}/artifacts"
             info = {
                 "run_id": rid,
                 "run_uuid": rid,
@@ -113,7 +121,7 @@ class _Handler(BaseHTTPRequestHandler):
                 "run_name": p.get("run_name", rid[:8]),
                 "status": "RUNNING",
                 "start_time": p.get("start_time", 0),
-                "artifact_uri": f"mlflow-artifacts:/{exp_id}/{rid}/artifacts",
+                "artifact_uri": art_uri,
             }
             tags = {t["key"]: t["value"] for t in p.get("tags", [])}
             st.runs[rid] = {"info": info, "params": {}, "metrics": {}, "tags": tags}
@@ -256,3 +264,161 @@ def test_unreachable_server_raises_tracking_error():
             tracking.set_experiment("nope")
     finally:
         tracking.set_tracking_uri(None)
+
+
+# ---------------------------------------------------------------------------
+# REST-mode full pipeline: the real stage CLIs (train sweep -> select ->
+# optimize) in fresh subprocesses with MLFLOW_TRACKING_URI=http://<stub> and
+# a shared-fs artifact root — the composition the reference runs against its
+# dockerized server (reference train.py:74, select.py:106-150) — compared
+# field-for-field against the identical pipeline on the file store.
+# ---------------------------------------------------------------------------
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _cpu_env(tracking_uri: str) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO)  # drop .axon_site -> no TPU plugin preimport
+    env["JAX_PLATFORMS"] = "cpu"
+    env["MLFLOW_TRACKING_URI"] = tracking_uri  # the reference's env contract
+    return env
+
+
+def _make_featuresets(root: Path) -> None:
+    from audio_edge_ml_pipeline_tpu.features.base import FeatureSet
+    from audio_edge_ml_pipeline_tpu.features.pipeline import FeaturePipeline
+
+    def make(n_per_class, seed):
+        rr = np.random.default_rng(seed)
+        X, y = [], []
+        for c in range(3):
+            mu = np.zeros(24)
+            mu[c * 8 : c * 8 + 8] = 1.3  # overlapping blobs: distinct model scores
+            X.append(rr.normal(mu, 1.0, size=(n_per_class, 24)))
+            y.append(np.full(n_per_class, c))
+        X = np.concatenate(X).astype(np.float32)
+        y = np.concatenate(y).astype(np.int32)
+        idx = rr.permutation(len(X))
+        return X[idx], y[idx]
+
+    for name, (X, y) in [("synth_train", make(30, 1)), ("synth_val", make(8, 2))]:
+        fs = FeatureSet(
+            features=X, feature_type="classical", modality="audio",
+            metadata=[{} for _ in range(len(X))], labels=y, label_names=["a", "b", "c"],
+        )
+        FeaturePipeline.save(fs, root / name)
+
+
+def _run_pipeline(workdir: Path, feats: Path, tracking_uri: str) -> dict:
+    """train(config sweep) -> select -> optimize via the production CLIs,
+    each a fresh subprocess with MLFLOW_TRACKING_URI set. Returns the three
+    JSON contracts."""
+    env = _cpu_env(tracking_uri)
+    workdir.mkdir(parents=True, exist_ok=True)
+    out = workdir / "models"
+    cfg = workdir / "training.yaml"
+    cfg.write_text(
+        f"""
+features_dir: {feats / 'synth_train'}
+output_dir: {out}
+experiment: rest-pipe
+val_split: 0.2
+auto_select_top_n: 2
+runs:
+  - model: lda
+  - model: knn
+"""
+    )
+
+    def run(argv):
+        r = subprocess.run([sys.executable, "-m", *argv], capture_output=True,
+                           text=True, cwd=workdir, env=env)
+        assert r.returncode == 0, f"{argv[0]} failed:\n{r.stdout}\n{r.stderr}"
+        return r
+
+    run(["audio_edge_ml_pipeline_tpu.train.train", "--config", str(cfg)])
+    sl_train = json.loads((out / "shortlist.json").read_text())
+
+    sl2_path = workdir / "sl2.json"
+    run(["audio_edge_ml_pipeline_tpu.train.select",
+         "--experiment", "rest-pipe", "--top-n", "2",
+         "--output", str(sl2_path),
+         "--features-eval-dir", str(feats / "synth_val")])
+    sl2 = json.loads(sl2_path.read_text())
+
+    opt_dir = workdir / "optimized"
+    run(["audio_edge_ml_pipeline_tpu.optimize.optimize",
+         "--shortlist", str(sl2_path),
+         "--features", str(feats / "synth_train"),
+         "--features-eval", str(feats / "synth_val"),
+         "--output", str(opt_dir), "--experiment", "rest-pipe-opt"])
+    reports = {}
+    for p in sorted(opt_dir.glob("*/optimization_report.json")):
+        rep = json.loads(p.read_text())
+        reports[rep["model_name"]] = rep
+    return {"shortlist": sl_train, "select": sl2, "reports": reports}
+
+
+def test_rest_mode_full_pipeline_matches_file_mode(tmp_path):
+    feats = tmp_path / "feats"
+    _make_featuresets(feats)
+
+    # REST mode: stub server with a shared-fs artifact root (the client's
+    # local-path artifact branch; optimize reads model bundles back from the
+    # same paths, exactly like a --default-artifact-root /shared/fs server)
+    art_root = tmp_path / "artifacts_sharedfs"
+    state = _StubState()
+    handler = type("H", (_Handler,), {"state": state, "artifact_root": str(art_root)})
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        rest = _run_pipeline(tmp_path / "rest", feats, f"http://127.0.0.1:{srv.server_address[1]}")
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    # identical pipeline on the default file store
+    filed = _run_pipeline(tmp_path / "filed", feats, str(tmp_path / "filed" / "mlruns"))
+
+    # schema parity: identical key sets in every contract file
+    for key in ("shortlist", "select"):
+        assert set(rest[key]) == set(filed[key])
+        assert all(set(c) == set(filed[key]["candidates"][0]) for c in rest[key]["candidates"])
+
+    # ranking parity: same models, same order, same metrics
+    def ranking(doc):
+        return [(c["rank"], c["model"], round(c["val_accuracy"], 6), round(c["val_f1_macro"], 6))
+                for c in doc["candidates"]]
+
+    assert ranking(rest["shortlist"]) == ranking(filed["shortlist"])
+    assert ranking(rest["select"]) == ranking(filed["select"])
+    assert len(rest["shortlist"]["candidates"]) == 2
+
+    # the REST run's models were trained, logged, and re-read through the
+    # shared-fs artifact root the stub handed out
+    assert any(art_root.rglob("*.npz")) or any(art_root.rglob("*.joblib"))
+    for c in rest["shortlist"]["candidates"]:
+        assert c["artifact_uri"].startswith(str(art_root))
+
+    # optimization reports: same models optimized, same schema, same
+    # quantization modes evaluated, same selected method
+    assert set(rest["reports"]) == set(filed["reports"]) == {"lda", "knn"}
+    for m in rest["reports"]:
+        assert set(rest["reports"][m]) == set(filed["reports"][m])
+        rb, fb = rest["reports"][m]["benchmark_results"], filed["reports"][m]["benchmark_results"]
+        assert set(rb) == set(fb)
+        assert (rest["reports"][m]["quantization_method"]
+                == filed["reports"][m]["quantization_method"])
+
+    # and the REST store actually holds the whole composition's runs
+    names = {r["info"]["run_name"] for r in (
+        {"info": run["info"]} for run in state.runs.values())}
+    assert any("lda" in n for n in names) and any("knn" in n for n in names)
