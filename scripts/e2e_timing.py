@@ -31,37 +31,70 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def tunnel_probe(timeout_s: float = 240.0):
-    """Objective tunnel-congestion marker: one fixed 8 MB host->device->host
-    round trip (upload + trivial compute + fetch), timed in a KILLABLE
-    subprocess so a wedged backend can't hang the harness. Returns seconds
-    (float), or 'timeout'/'failed rc=N'. Import/backend-init time is
-    excluded — only the round trip is timed. Measured context: a healthy
-    window fetches ~41 MB in ~1.5 s (CLAUDE.md), so <= ~2 s here is
-    healthy; congested windows run 10x-100x that."""
+def tunnel_probe(timeout_s: float = 420.0):
+    """Objective tunnel-congestion marker: TWO consecutive fixed 8 MB
+    host->device->host round trips (upload + trivial compute + fetch) in one
+    KILLABLE subprocess, so a wedged backend can't hang the harness.
+
+    Two trips because the tunnel has a documented per-process pathology that
+    a single trip conflates with congestion: the FIRST synced fetch in a
+    process can stall 20-300+ s on server-side program load/warmup even when
+    the window is otherwise healthy (CLAUDE.md "tunnel pathologies"; measured
+    2026-08-20: first trip 546 s, then 0.31 s steady-state in the same
+    process). The SECOND trip is the real congestion signal.
+
+    Returns {"first_s": x, "steady_s": y} where each is seconds (float) or
+    'timeout'/'failed rc=N'. Import/backend-init time is excluded — only the
+    round trips are timed. Measured context: a healthy window fetches ~41 MB
+    in ~1.5 s, so steady <= ~2 s is healthy; congested windows run
+    10x-100x that."""
+    trip = (
+        "t0 = time.perf_counter();"
+        "d = jax.device_put(x);"
+        "y = np.asarray(jax.device_get(d + 1));"
+        "print(round(time.perf_counter() - t0, 3), flush=True);"
+    )
     code = (
         "import time, numpy as np, jax;"
         "x = np.ones((1024, 2048), np.float32);"  # 8 MB
         "jax.device_put(np.zeros(8, np.float32));"  # backend init outside the clock
-        "t0 = time.perf_counter();"
-        "d = jax.device_put(x);"
-        "y = np.asarray(jax.device_get(d + 1));"
-        "print(round(time.perf_counter() - t0, 3))"
+        + trip + trip
     )
+    out, fail = "", None
     try:
         r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
                            capture_output=True, text=True, env=os.environ.copy())
-    except subprocess.TimeoutExpired:
-        return "timeout"
-    if r.returncode != 0:
-        return f"failed rc={r.returncode}"
-    try:
-        return float(r.stdout.strip().splitlines()[-1])
-    except (ValueError, IndexError):
-        return "unparseable"
+        out = r.stdout or ""
+        if r.returncode != 0:
+            fail = f"failed rc={r.returncode}"
+    except subprocess.TimeoutExpired as exc:
+        # partial output survives the kill: a completed first trip is still
+        # a valid warmup measurement even when the second never ran
+        out = exc.stdout or ""
+        if isinstance(out, bytes):
+            out = out.decode("utf-8", "replace")
+        fail = "timeout"
+    vals = []
+    for ln in out.splitlines():
+        try:
+            vals.append(float(ln.strip()))
+        except ValueError:
+            pass
+    return {"first_s": vals[0] if len(vals) > 0 else (fail or "unparseable"),
+            "steady_s": vals[1] if len(vals) > 1 else (fail or "unparseable")}
 
 
 def tunnel_health_label(probe) -> str:
+    """Window label from a probe result (new two-trip dict or legacy float).
+    Steady-state drives the label; a probe where even the first trip never
+    completed is 'dead'. A completed-but-slow first trip with a healthy
+    steady trip is the warmup pathology, NOT congestion — labeled healthy."""
+    if isinstance(probe, dict):
+        steady, first = probe.get("steady_s"), probe.get("first_s")
+        if not isinstance(steady, float):
+            # second trip never ran; all we know comes from the first
+            steady = first
+        probe = steady
     if not isinstance(probe, float):
         return "dead"
     if probe <= 2.0:
@@ -69,6 +102,13 @@ def tunnel_health_label(probe) -> str:
     if probe <= 10.0:
         return "moderate"
     return "congested"
+
+
+def probe_steady(probe):
+    """Steady-state seconds from a probe result, or None if unavailable."""
+    if isinstance(probe, dict):
+        probe = probe.get("steady_s")
+    return probe if isinstance(probe, float) else None
 
 
 def run_stage(name: str, argv: list[str], cwd: Path, timings: dict,
@@ -220,8 +260,9 @@ runs:
     print(f"[tunnel probe: after ] {probe_after} s  ({tunnel_health_label(probe_after)})")
     # the worse of the two probes labels the window — congestion arriving
     # mid-run must not hide behind a healthy start
-    if isinstance(probe_before, float) and isinstance(probe_after, float):
-        window = tunnel_health_label(max(probe_before, probe_after))
+    s_before, s_after = probe_steady(probe_before), probe_steady(probe_after)
+    if s_before is not None and s_after is not None:
+        window = tunnel_health_label(max(s_before, s_after))
     else:
         window = "dead"
     summary = {

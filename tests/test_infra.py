@@ -398,3 +398,36 @@ def test_docker_mlflow_service_is_startable_as_composed():
         assert "psycopg2" in df, "postgresql:// store needs the psycopg2 driver baked in"
     if needs_s3:
         assert "boto3" in df, "s3:// artifact destination needs boto3 baked in"
+
+
+def test_tunnel_probe_two_trip_semantics():
+    """The congestion probe (scripts/e2e_timing.py) measures TWO consecutive
+    round trips in one subprocess so the documented per-process first-fetch
+    stall (CLAUDE.md tunnel pathologies; measured 546 s first / 0.31 s
+    steady in one healthy window) cannot masquerade as congestion: the
+    label comes from the steady-state trip. Runs the real probe on the CPU
+    backend (conftest env) and checks the label algebra on synthetic
+    results."""
+    import sys
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    from e2e_timing import probe_steady, tunnel_health_label, tunnel_probe
+
+    p = tunnel_probe(timeout_s=120)
+    assert isinstance(p, dict)
+    assert isinstance(p["first_s"], float) and isinstance(p["steady_s"], float)
+    assert tunnel_health_label(p) == "healthy"  # CPU round trip is ~ms
+    assert probe_steady(p) == p["steady_s"]
+
+    # warmup stall + healthy steady trip = healthy window, NOT congestion
+    assert tunnel_health_label({"first_s": 546.0, "steady_s": 0.31}) == "healthy"
+    # genuine congestion shows in the steady trip
+    assert tunnel_health_label({"first_s": 300.0, "steady_s": 25.0}) == "congested"
+    # first trip completed but the kill hit the second: judge from trip one
+    assert tunnel_health_label({"first_s": 410.0, "steady_s": "timeout"}) == "congested"
+    # nothing completed inside the budget: dead
+    assert tunnel_health_label({"first_s": "timeout", "steady_s": "timeout"}) == "dead"
+    assert probe_steady({"first_s": 1.0, "steady_s": "timeout"}) is None
+    # legacy scalar results from committed round-4 artifacts still label
+    assert tunnel_health_label(1.4) == "healthy"
+    assert tunnel_health_label("timeout") == "dead"
