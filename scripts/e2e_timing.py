@@ -31,7 +31,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def tunnel_probe(timeout_s: float = 420.0):
+def tunnel_probe(timeout_s: float = 700.0):
     """Objective tunnel-congestion marker: TWO consecutive fixed 8 MB
     host->device->host round trips (upload + trivial compute + fetch) in one
     KILLABLE subprocess, so a wedged backend can't hang the harness.
@@ -41,7 +41,10 @@ def tunnel_probe(timeout_s: float = 420.0):
     process can stall 20-300+ s on server-side program load/warmup even when
     the window is otherwise healthy (CLAUDE.md "tunnel pathologies"; measured
     2026-08-20: first trip 546 s, then 0.31 s steady-state in the same
-    process). The SECOND trip is the real congestion signal.
+    process). The SECOND trip is the real congestion signal. The default
+    timeout therefore exceeds the worst measured warmup stall (546 s) —
+    a 420 s default was observed mislabeling a window "dead" purely on
+    warmup, while a direct probe minutes earlier read steady 0.39 s.
 
     Returns {"first_s": x, "steady_s": y} where each is seconds (float) or
     'timeout'/'failed rc=N'. Import/backend-init time is excluded — only the
