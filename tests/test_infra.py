@@ -312,6 +312,35 @@ def test_bench_gate_failure_emits_honest_zero(tmp_path):
     assert result["metric"] == "fsc22 mel+CNN clips/sec/chip"
 
 
+def test_bench_midrun_crash_emits_honest_zero(tmp_path):
+    """A backend crash inside main() (measured 2026-08-20: JaxRuntimeError
+    FAILED_PRECONDITION when the tunneled TPU server restarts under a live
+    program) must still end in the one-line zero-score JSON contract after
+    the single health-gated retry — not a bare traceback with no JSON line.
+    Simulated by shadowing flax (imported by main(), not by the probe
+    subprocesses, which only import jax) so the health gate passes while
+    both bench attempts crash."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    (tmp_path / "flax.py").write_text("raise RuntimeError('simulated mid-run crash')\n")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{tmp_path}{os.pathsep}{REPO}"  # drops .axon_site too
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env, capture_output=True, text=True, timeout=500, cwd=REPO,
+    )
+    assert proc.returncode == 3
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["value"] == 0.0 and result["vs_baseline"] == 0.0
+    assert "crashed twice" in result["error"]
+    assert result["metric"] == "fsc22 mel+CNN clips/sec/chip"
+    assert "retrying after health gate" in proc.stderr
+
+
 def test_hybrid_dcn_replica_mesh_training_step():
     """get_mesh(dcn_replicas=2) adds the cross-slice DCN axis (SURVEY §5:
     "optional DCN axis for multi-slice"): the mesh becomes
