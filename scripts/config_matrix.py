@@ -366,6 +366,17 @@ def main() -> None:
     probe_after = tunnel_probe()
     print(f"[tunnel probe: after ] {probe_after} s ({tunnel_health_label(probe_after)})")
 
+    # attach THIS invocation's probes to the configs it ran, so a --keep
+    # merge keeps every config's wall-clocks paired with the weather they
+    # were measured under (the top-level tunnel_probe_s only records the
+    # latest run, and its prev_* chain loses the run->config association)
+    for res in results.values():
+        res["probes"] = {
+            "before": probe_before, "after": probe_after,
+            "label": f"{tunnel_health_label(probe_before)}/"
+                     f"{tunnel_health_label(probe_after)}",
+        }
+
     doc = {
         "workload": {"classes": args.classes, "per_class": args.per_class, "sr": SR},
         "tunnel_probe_s": {"before": probe_before, "after": probe_after},
